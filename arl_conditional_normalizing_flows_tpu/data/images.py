@@ -1,0 +1,235 @@
+"""Image dataset pipelines: class-conditional and super-resolution.
+
+Replaces the reference's tf.data pipelines (conv_cINN.py:214-508) with
+vectorized numpy/JAX epoch builders:
+
+- class-conditional ("DISCRETE"): per-class sources, each truncated to a
+  multiple of the batch size so every batch is CLASS-PURE
+  (conv_cINN.py:271-304); optional fudged-logit pixel transform; the class
+  label becomes a constant H x W x 1 plane concatenated onto x
+  (conv_cINN.py:250-268); labels are the class INDICES rescaled to [0,1]
+  (conv_cINN.py:222-228);
+- super-resolution ("CONTINUOUS"): a combined source mapped through the
+  down/up resampling pairs of ``preprocess_sr`` with optional residual target
+  (conv_cINN_base_functions.py:233-279), shuffled at the example level;
+- both get the permanent 2% instance-noise floor (alpha=0.98,
+  conv_cINN.py:307-315) regenerated every epoch.
+
+Dataset acquisition: a cached ``mnist.npz``/``fashion_mnist`` archive is used
+when present (the environment has no network egress); otherwise
+:func:`synthetic_digits` provides a deterministic class-structured stand-in
+with the same shapes and per-class counts, sufficient for tests, benchmarks
+and pipeline validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arl_conditional_normalizing_flows_tpu.ops import resample
+from arl_conditional_normalizing_flows_tpu.ops.logit import logitify
+
+
+# ---------------------------------------------------------------------------
+# acquisition
+# ---------------------------------------------------------------------------
+
+
+def _find_cached_mnist(name: str) -> Optional[str]:
+    for base in [
+        os.path.expanduser("~/.keras/datasets"),
+        os.path.expanduser("~/.cache/arl_cnf_tpu"),
+        "/root/datasets",
+    ]:
+        p = os.path.join(base, f"{name}.npz")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def synthetic_digits(
+    num_per_class: int = 256,
+    num_classes: int = 10,
+    size: int = 28,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic MNIST-shaped synthetic data: each class is a distinct
+    blob/stroke pattern with jitter, pixel values in [0,1], mostly-zero
+    background (so the 2% noise-floor rationale applies just as it does to
+    MNIST, conv_cINN.py:309)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    images, labels = [], []
+    for c in range(num_classes):
+        ang = 2 * np.pi * c / num_classes
+        cx, cy = 0.5 + 0.25 * np.cos(ang), 0.5 + 0.25 * np.sin(ang)
+        for _ in range(num_per_class):
+            jx, jy = rng.normal(0, 0.03, 2)
+            sigma = 0.08 + 0.02 * (c % 3)
+            blob = np.exp(
+                -(((xx - cx - jx) ** 2) + ((yy - cy - jy) ** 2)) / (2 * sigma**2)
+            )
+            # a class-dependent stroke through the centre
+            t = np.abs(
+                np.cos(ang) * (yy - 0.5) - np.sin(ang) * (xx - 0.5)
+            )
+            stroke = np.exp(-(t**2) / (2 * 0.03**2)) * (c % 2 == 0)
+            img = np.clip(blob + 0.6 * stroke, 0.0, 1.0)
+            images.append(img.astype(np.float32))
+            labels.append(c)
+    images = np.stack(images)[..., None]
+    labels = np.asarray(labels, np.int32)
+    perm = rng.permutation(len(labels))
+    return images[perm], labels[perm]
+
+
+def load_image_dataset(
+    name: str = "mnist", split: str = "train", synthetic_fallback: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(images in [0,1] shaped (N, 28, 28, 1), int labels).
+
+    Uses a cached npz archive when available; otherwise synthesizes
+    (no network egress in this environment).
+    """
+    path = _find_cached_mnist(name)
+    if path is not None:
+        with np.load(path, allow_pickle=False) as d:
+            if split == "train":
+                x, y = d["x_train"], d["y_train"]
+            else:
+                x, y = d["x_test"], d["y_test"]
+        x = (x.astype(np.float32) / 255.0)[..., None] if x.ndim == 3 else x
+        return x, y.astype(np.int32)
+    if not synthetic_fallback:
+        raise FileNotFoundError(f"no cached archive for {name}")
+    n = 256 if split == "train" else 64
+    return synthetic_digits(num_per_class=n, seed=0 if split == "train" else 1)
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+
+def class_labels_01(num_classes: int) -> np.ndarray:
+    """Evenly spaced class labels rescaled to [0,1] (conv_cINN.py:222-228)."""
+    idx = np.arange(num_classes, dtype=np.float32)
+    return idx / max(idx[-1], 1.0)
+
+
+def preprocess_sr(x_hires, model_type: str, residual: bool = True):
+    """SR pair construction (conv_cINN_base_functions.py:233-279).
+
+    'SR4,2': x = down(hires) (14x14), y = up(down(down(hires)));
+    'SR2,1': x = hires (28x28),       y = up(down(hires)).
+    If residual, x -= y (2x2 blocks of the residual sum to ~0 — a built-in
+    sanity check, conv_cINN.py:44-45).
+    Returns xy = concat([x, y], -1).
+    """
+    x_hires = jnp.asarray(x_hires)
+    if model_type == "SR4,2":
+        x = resample.down(x_hires)
+        y = resample.up(resample.down(resample.down(x_hires)))
+    elif model_type == "SR2,1":
+        x = x_hires
+        y = resample.up(resample.down(x_hires))
+    else:
+        raise ValueError(f"unknown SR model_type {model_type!r}")
+    if residual:
+        x = x - y
+    return jnp.concatenate([x, y], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# epoch feeders
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ClassConditionalSource:
+    """Class-pure batch feeder for discrete (class) conditioning."""
+
+    images: np.ndarray  # (N, H, W, 1) in [0,1]
+    labels: np.ndarray  # (N,) ints
+    which_classes: Sequence[int]
+    batch_size: int
+    use_logits: bool = False
+    logit_a: float = 0.01
+    noise_floor_alpha: float = 0.98
+
+    def __post_init__(self):
+        self.which_classes = [int(c) for c in self.which_classes]
+        label_values = class_labels_01(len(self.which_classes))
+        xs = []
+        ys = []
+        for i, c in enumerate(self.which_classes):
+            x = self.images[self.labels == c]
+            # truncate to a multiple of batch_size -> class-pure batches
+            # (conv_cINN.py:271-304)
+            n = (len(x) // self.batch_size) * self.batch_size
+            x = np.asarray(x[:n], np.float32)
+            if self.use_logits:
+                x = np.asarray(logitify(jnp.asarray(x), self.logit_a))
+            xs.append(x)
+            ys.append(np.full((n,), label_values[i], np.float32))
+        self._x = np.concatenate(xs)
+        self._y = np.concatenate(ys)
+        self.num_batches = len(self._x) // self.batch_size
+        h, w = self._x.shape[1:3]
+        self.xy_shape = (h, w, self._x.shape[3] + 1)
+
+    def epoch(self, key, epoch_idx: int = 0):
+        """Yield shuffled class-pure xy batches with a fresh 2% noise floor."""
+        k_perm, k_noise = jax.random.split(jax.random.fold_in(key, epoch_idx))
+        order = np.asarray(jax.random.permutation(k_perm, self.num_batches))
+        b = self.batch_size
+        h, w = self.xy_shape[:2]
+        for slot in order:
+            sl = slice(int(slot) * b, (int(slot) + 1) * b)
+            x = jnp.asarray(self._x[sl])
+            yplane = jnp.broadcast_to(
+                jnp.asarray(self._y[sl])[:, None, None, None], (b, h, w, 1)
+            )
+            xy = jnp.concatenate([x, yplane], axis=-1)
+            if self.noise_floor_alpha < 1.0:
+                k = jax.random.fold_in(k_noise, int(slot))
+                eps = jax.random.normal(k, xy.shape, xy.dtype)
+                xy = self.noise_floor_alpha * xy + (1 - self.noise_floor_alpha) * eps
+            yield xy
+
+
+@dataclasses.dataclass
+class SRSource:
+    """Example-shuffled batch feeder for continuous (super-resolution)
+    conditioning (conv_cINN.py:412-508)."""
+
+    images: np.ndarray  # (N, H, W, 1) hires in [0,1]
+    model_type: str  # 'SR4,2' | 'SR2,1'
+    batch_size: int
+    residual: bool = True
+    noise_floor_alpha: float = 0.98
+
+    def __post_init__(self):
+        xy = np.asarray(preprocess_sr(self.images, self.model_type, self.residual))
+        n = (len(xy) // self.batch_size) * self.batch_size
+        self._xy = xy[:n]
+        self.num_batches = n // self.batch_size
+        self.xy_shape = self._xy.shape[1:]
+
+    def epoch(self, key, epoch_idx: int = 0):
+        k_perm, k_noise = jax.random.split(jax.random.fold_in(key, epoch_idx))
+        order = np.asarray(jax.random.permutation(k_perm, len(self._xy)))
+        b = self.batch_size
+        for i in range(self.num_batches):
+            xy = jnp.asarray(self._xy[order[i * b : (i + 1) * b]])
+            if self.noise_floor_alpha < 1.0:
+                k = jax.random.fold_in(k_noise, i)
+                eps = jax.random.normal(k, xy.shape, xy.dtype)
+                xy = self.noise_floor_alpha * xy + (1 - self.noise_floor_alpha) * eps
+            yield xy

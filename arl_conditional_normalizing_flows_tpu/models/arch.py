@@ -1,0 +1,192 @@
+"""Architecture configs and static derivations for the conv flow.
+
+Everything here is trace-time numpy: per-block scales and io shapes
+(conv_cINN_make_model.py:1487-1536), the fixed per-block mask order [0,1,2,3]
+(conv_cINN_make_model.py:1545-1550), and the automatic dilation schedule
+(conv_cINN_make_model.py:1552-1610).
+
+The architecture string (:func:`arch_string`) mirrors the reference's
+filename-encoded compatibility contract between noise pre-training and real
+training (conv_cINN.py:519,531,641; README.md:98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvFlowConfig:
+    """Hyperparameters of the multi-scale conv cFlow
+    (conv_cINN_make_model.py:1408-1484, conv_cINN.py:56-91)."""
+
+    io_shape: Tuple[int, int, int]  # (H, W, D) of the concatenated xy tensor
+    x_d: int  # channels of x; y' occupies channels [x_d:]
+    squeeze_factor_blocks: Tuple[int, ...] = (0, 1, 0, 0)
+    res_blocks: Tuple[int, ...] = (3, 3, 3, 3)
+    num_kernels: Tuple[int, ...] = (64, 64, 32, 32)
+    cardinality: Tuple[int, ...] = (8, 8, 4, 4)
+    ksize: int = 3
+    dilations: bool = True
+    layer_norm: bool = False
+    lambda_y: float = 100.0  # conv_cINN_make_model.py:1438
+    # Fuse the A and b subnets into one two-headed network. The reference keeps
+    # them separate (conv_cINN_make_model.py:1107-1213); fusing halves the conv
+    # launches and doubles arithmetic intensity per conv — a TPU-side option
+    # that changes parameterization but not the architecture class.
+    fused_subnet: bool = False
+    # Compute dtype for the coupling subnets (params stay float32; log-det and
+    # loss accumulate in float32 regardless).
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        n = len(self.squeeze_factor_blocks)
+        assert (
+            len(self.res_blocks) == n
+            and len(self.num_kernels) == n
+            and len(self.cardinality) == n
+        ), "architecture lists must have equal length (conv_cINN_make_model.py:1459-1463)"
+        h, w, _ = self.io_shape
+        assert h % 2 == 0 and w % 2 == 0, "io spatial dims must be even"
+        for k, c in zip(self.num_kernels, self.cardinality):
+            assert k % 2 == 0 and c % 2 == 0, (
+                "kernels and cardinality must be even (conv_cINN_make_model.py:1472-1479)"
+            )
+        assert all(s in (0, 1) for s in self.squeeze_factor_blocks)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockPlan:
+    """Static per-coupling-block facts derived from the config."""
+
+    io_shape: Tuple[int, int, int]
+    num_prev_factors: int
+    squeeze_factor: bool
+    dilations_checkerboard: Tuple[int, ...]
+    dilations_channelwise: Tuple[int, ...]
+
+
+def derive_blocks(cfg: ConvFlowConfig) -> Tuple[BlockPlan, ...]:
+    """Derive per-block scales, shapes, factor counts and dilation schedules.
+
+    Mirrors conv_cINN_make_model.py:1487-1617 exactly, including the shifted
+    scale bookkeeping (squeeze/factor happens AFTER the block's couplings, so
+    a block's scale is set by the PREVIOUS block's squeeze flag).
+    """
+    sf = cfg.squeeze_factor_blocks
+    n = len(sf)
+    h0, w0, d0 = cfg.io_shape
+
+    scale = 1
+    num_prev_factors = 0
+    blocks = []
+    for i in range(n):
+        if i > 0 and sf[i - 1]:
+            scale *= 2
+            num_prev_factors += 1
+        assert h0 % (scale * 2) == 0 and w0 % (scale * 2) == 0, (
+            f"scale*2 must divide spatial dims at block {i} "
+            "(conv_cINN_make_model.py:1526-1530)"
+        )
+        shape = (h0 // scale, w0 // scale, d0 * scale)
+        dil_cb, dil_cw = _dilation_schedule(shape, cfg.ksize) if cfg.dilations else (
+            (1,),
+            (1,),
+        )
+        if cfg.dilations:
+            nkc = cfg.num_kernels[i] // cfg.cardinality[i]
+            for d in dil_cw:
+                assert nkc % d == 0, (
+                    f"num_kernels/cardinality must be divisible by dilation {d} "
+                    f"at block {i} (conv_cINN_make_model.py:1612-1617)"
+                )
+        blocks.append(
+            BlockPlan(
+                io_shape=shape,
+                num_prev_factors=num_prev_factors,
+                squeeze_factor=bool(sf[i]),
+                dilations_checkerboard=dil_cb,
+                dilations_channelwise=dil_cw,
+            )
+        )
+    return tuple(blocks)
+
+
+def _dilation_schedule(block_io_shape, ksize):
+    """Auto dilation schedule (conv_cINN_make_model.py:1552-1610).
+
+    Grow the dilated kernel size via dk' = (k-1)(dk-1)+1 while
+    dk < (min_dim+1)/2; checkerboard-compressed inputs have half the spatial
+    extent and get one fewer dilation level.
+    """
+    min_cw = min(block_io_shape[0], block_io_shape[1])
+    min_cb = min_cw / 2
+
+    cb, cw = [], []
+    d = 1
+    dk = ksize
+    if dk > (min_cw + 1) / 2:
+        return (1,), (1,)
+    guard = 0
+    while dk < (min_cw + 1) / 2:
+        assert guard < 10, "dilation loop ran away (conv_cINN_make_model.py:1588-1590)"
+        cw.append(int(d))
+        if d < (min_cb + 1) / 2:
+            cb.append(int(d))
+        dk = (ksize - 1) * (dk - 1) + 1
+        d = (dk - ksize) / (ksize - 1) + 1
+        guard += 1
+    return tuple(cb), tuple(cw)
+
+
+#: per-block u1 mask order — fixed (conv_cINN_make_model.py:1545-1550)
+BLOCK_MASK_ORDER = (0, 1, 2, 3)
+
+
+def arch_string(cfg: ConvFlowConfig) -> str:
+    """Architecture identity string (compatibility contract between
+    pre-training and training, format after conv_cINN.py:519)."""
+    j = lambda xs: "".join(str(int(x)) for x in xs)
+    return (
+        f"SqFa{j(cfg.squeeze_factor_blocks)}_NRB{j(cfg.res_blocks)}"
+        f"_C{'.'.join(map(str, cfg.cardinality))}"
+        f"_NK{'.'.join(map(str, cfg.num_kernels))}"
+        f"_KS{cfg.ksize}_D{int(cfg.dilations)}_LN{int(cfg.layer_norm)}"
+        f"_IO{cfg.io_shape[0]}x{cfg.io_shape[1]}x{cfg.io_shape[2]}_XD{cfg.x_d}"
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ToyConfig:
+    """Hyperparameters of the dense toy cINN (TOYcINN.py:84-105,
+    TOYcINN_make_model.py:105-217)."""
+
+    io_shape: int = 3
+    x_d: int = 2
+    num_coupling_layers: int = 24
+    intermediate_dims: int = 32
+    num_layers: int = 6
+    lambda_y: float = 100.0
+    #: execution-order permutation of the coupling layers; layer j always uses
+    #: toy mask ``j % 6``. None -> identity order (shuffling is done by the
+    #: driver with an explicit PRNG key, not hidden np.random state as in
+    #: TOYcINN_make_model.py:207-217).
+    mask_indices: Optional[Tuple[int, ...]] = None
+
+    def ordered_indices(self) -> Tuple[int, ...]:
+        if self.mask_indices is not None:
+            assert sorted(self.mask_indices) == list(range(self.num_coupling_layers))
+            return tuple(self.mask_indices)
+        return tuple(range(self.num_coupling_layers))
+
+
+def shuffle_mask_indices(rng, num_coupling_layers: int) -> Tuple[int, ...]:
+    """Shuffle layer order within each group of 6, as the toy reference does
+    (TOYcINN_make_model.py:207-217), with an explicit numpy Generator."""
+    import numpy as np
+
+    idx = np.arange(num_coupling_layers)
+    for g in range(num_coupling_layers // 6):
+        rng.shuffle(idx[6 * g : 6 * (g + 1)])
+    return tuple(int(i) for i in idx)

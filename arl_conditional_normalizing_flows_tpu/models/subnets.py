@@ -1,0 +1,216 @@
+"""Coupling-function subnets (flax.linen).
+
+Dense stacks for the toy model (TOYcINN_make_model.py:29-97) and dilated
+grouped-conv ResNeXt stacks for the conv model
+(conv_cINN_base_functions.py:330-627, conv_cINN_make_model.py:1076-1213),
+re-designed for XLA:TPU:
+
+- grouped convolution is ONE ``feature_group_count`` conv, not a Python loop
+  of per-group slices+convs (cf. conv_cINN_base_functions.py:399-411). The
+  reference's group slicing reads only the first ``nb_channels`` input
+  channels when a dilated branch narrows the width — reproduced here by
+  slicing before the conv.
+- parity details preserved: LeakyReLU negative slope 0.3 (Keras default),
+  LayerNorm applied over ALL h*w*d elements jointly with eps=1e-3 (the
+  flatten-reshape trick, conv_cINN_base_functions.py:345-361), orthogonal
+  kernel init, zero bias init, linear b-head, tanh A-head with a learned
+  scalar scale (conv_cINN_make_model.py:97-122).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+LEAKY_SLOPE = 0.3  # Keras LeakyReLU default alpha
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def orthogonal_init(scale: float = 0.1):
+    """Orthogonal(gain) kernel init — the reference's NaN-at-step-0 defense
+    (conv_cINN.py:90-91, TOYcINN.py:100-101)."""
+    return nn.initializers.orthogonal(scale=scale)
+
+
+class FlatLayerNorm(nn.Module):
+    """LayerNorm over all h*w*d elements jointly (the reference's
+    flatten->LayerNorm->reshape trick, conv_cINN_base_functions.py:345-361).
+
+    Keras LayerNormalization defaults: eps=1e-3, learned scale+bias over the
+    flattened axis.
+    """
+
+    @nn.compact
+    def __call__(self, y):
+        *lead, h, w, d = y.shape
+        flat = y.reshape(*lead, h * w * d)
+        flat = nn.LayerNorm(epsilon=1e-3)(flat)
+        return flat.reshape(*lead, h, w, d)
+
+
+class DenseCouplingNet(nn.Module):
+    """The toy A/b pair: two stacks of ``num_layers+1`` Dense+LeakyReLU with
+    heads Dense(u2_size); the A head gets tanh, the b head is linear
+    (TOYcINN_make_model.py:29-97; no learned scale — deliberately omitted,
+    TOYcINN_make_model.py:91-92).
+    """
+
+    u2_size: int
+    intermediate_dims: int
+    num_layers: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, u1):
+        kinit = orthogonal_init(self.init_scale)
+        a = b = u1
+        for _ in range(self.num_layers + 1):
+            b = leaky_relu(nn.Dense(self.intermediate_dims, kernel_init=kinit)(b))
+        b = nn.Dense(self.u2_size, kernel_init=kinit)(b)
+        for _ in range(self.num_layers + 1):
+            a = leaky_relu(nn.Dense(self.intermediate_dims, kernel_init=kinit)(a))
+        a = jnp.tanh(nn.Dense(self.u2_size, kernel_init=kinit)(a))
+        return a, b
+
+
+def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype):
+    """Reference grouped_convolution (conv_cINN_base_functions.py:364-411):
+    reads the first ``nb_channels`` input channels, splits them into
+    ``cardinality`` groups, convolves each group to ``nb_channels/cardinality``
+    outputs. One XLA conv via feature_group_count."""
+    if cardinality == 1:
+        return nn.Conv(
+            nb_channels,
+            (ksize, ksize),
+            padding="SAME",
+            kernel_dilation=(dilation, dilation),
+            kernel_init=kinit,
+            dtype=dtype,
+        )(y)
+    assert nb_channels % cardinality == 0
+    y = y[..., :nb_channels]
+    return nn.Conv(
+        nb_channels,
+        (ksize, ksize),
+        padding="SAME",
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=cardinality,
+        kernel_init=kinit,
+        dtype=dtype,
+    )(y)
+
+
+class DilatedResidualBlock(nn.Module):
+    """Pre-activation ResNeXt bottleneck with parallel dilated grouped convs
+    (conv_cINN_base_functions.py:502-627). Identity shortcut (in/out widths
+    are equal at every use site, conv_cINN_make_model.py:1123-1131)."""
+
+    nb_channels: int  # = num_kernels: bottleneck width and output width
+    dilations: Tuple[int, ...]
+    ksize: int
+    cardinality: int
+    layer_norm: bool
+    init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        kinit = orthogonal_init(self.init_scale)
+        shortcut = y
+
+        def common(t):
+            t = leaky_relu(t)
+            if self.layer_norm:
+                t = FlatLayerNorm()(t)
+            return t
+
+        y = common(y)
+        y = nn.Conv(self.nb_channels, (1, 1), kernel_init=kinit, dtype=self.dtype)(y)
+        y = common(y)
+        branches = [
+            _grouped_conv(
+                y,
+                self.nb_channels // d,
+                self.ksize,
+                d,
+                self.cardinality,
+                kinit,
+                self.dtype,
+            )
+            for d in self.dilations
+        ]
+        y = branches[0] if len(branches) == 1 else jnp.concatenate(branches, axis=-1)
+        y = common(y)
+        y = nn.Conv(self.nb_channels, (1, 1), kernel_init=kinit, dtype=self.dtype)(y)
+        return shortcut + y
+
+
+class ConvCouplingNet(nn.Module):
+    """One head-stack of the conv coupling function
+    (conv_cINN_make_model.py:1076-1213): Conv(num_kernels, k) ->
+    num_res_blocks x DilatedResidualBlock -> LeakyReLU -> [FlatLayerNorm] ->
+    Conv(out_channels, k) head.
+
+    ``n_heads`` > 1 emits that many stacked output heads from ONE trunk — the
+    fused-A/b option (the reference always builds two separate trunks).
+    The scale head (``scale_head``=True, or head 0 in fused mode) gets tanh
+    plus a learned scalar initialised to 1.0 (conv_cINN_make_model.py:97-122,
+    :1198-1205).
+    """
+
+    out_channels: int
+    num_kernels: int
+    num_res_blocks: int
+    cardinality: int
+    ksize: int
+    dilations: Tuple[int, ...]
+    layer_norm: bool
+    scale_head: bool = False  # unfused: is this the A (tanh+scale) net?
+    n_heads: int = 1  # fused: 2 -> returns (A, b)
+    init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, u1):
+        kinit = orthogonal_init(self.init_scale)
+        y = u1.astype(self.dtype)
+        y = nn.Conv(
+            self.num_kernels, (self.ksize, self.ksize), padding="SAME",
+            kernel_init=kinit, dtype=self.dtype,
+        )(y)
+        for _ in range(self.num_res_blocks):
+            y = DilatedResidualBlock(
+                nb_channels=self.num_kernels,
+                dilations=self.dilations,
+                ksize=self.ksize,
+                cardinality=self.cardinality,
+                layer_norm=self.layer_norm,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+            )(y)
+        y = leaky_relu(y)
+        if self.layer_norm:
+            y = FlatLayerNorm()(y)
+        head = nn.Conv(
+            self.out_channels * self.n_heads,
+            (self.ksize, self.ksize),
+            padding="SAME",
+            kernel_init=kinit,
+            dtype=self.dtype,
+        )(y)
+        head = head.astype(jnp.float32)
+
+        def scale_transform(a):
+            s = self.param("tanh_scale", nn.initializers.ones, ())
+            return jnp.tanh(a) * s
+
+        if self.n_heads == 1:
+            return scale_transform(head) if self.scale_head else head
+        assert self.n_heads == 2
+        a, b = jnp.split(head, 2, axis=-1)
+        return scale_transform(a), b

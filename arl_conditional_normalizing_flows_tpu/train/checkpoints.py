@@ -1,0 +1,118 @@
+"""Checkpoint / resume with architecture metadata.
+
+The reference's checkpoint identity is fragile: the toy model silently
+invalidates on a different random mask order (TOYcINN.py:306-317, :228-235)
+and the conv model encodes the architecture into the FILENAME as the
+compatibility contract (conv_cINN.py:519,639-641; README.md:98).  Here the
+architecture config AND the layer-order permutation are stored INSIDE the
+checkpoint and validated on restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _config_to_json(cfg) -> str:
+    d = dataclasses.asdict(cfg)
+    return json.dumps(d, sort_keys=True)
+
+
+class CheckpointManager:
+    """Orbax-backed checkpoints of (params, opt_state, epoch) + arch metadata."""
+
+    def __init__(self, directory: str, config=None, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.config = config
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+        self._meta_path = os.path.join(self.directory, "arch.json")
+        if config is not None:
+            self._write_or_check_meta()
+
+    def _write_or_check_meta(self):
+        meta = _config_to_json(self.config)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                existing = f.read()
+            if existing != meta:
+                raise ValueError(
+                    "checkpoint directory was written with a different "
+                    f"architecture:\n  stored: {existing}\n  current: {meta}\n"
+                    "(the reference encodes this contract in filenames, "
+                    "conv_cINN.py:519; here it is enforced)"
+                )
+        else:
+            with open(self._meta_path, "w") as f:
+                f.write(meta)
+
+    def save(self, epoch: int, state):
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state, epoch: Optional[int] = None):
+        """Restore into an existing (freshly created) TrainState."""
+        if epoch is None:
+            epoch = self._mgr.latest_step()
+        if epoch is None:
+            return None, state
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        restored = self._mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template)
+        )
+        state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=int(restored["step"]),
+        )
+        return epoch, state
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params_npz(path: str, params, extra: Optional[dict] = None):
+    """Flat single-file export (the toy reference's .npy object-array
+    save, TOYcINN.py:306-317, minus the pickle)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {}
+    for kp, leaf in flat:
+        arrays[jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    if extra:
+        for k, v in extra.items():
+            arrays[f"__extra__{k}"] = np.asarray(v)
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str, params_template):
+    """Load a flat export back into the template's tree structure."""
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves = []
+    for kp, leaf in flat:
+        arr = data[jax.tree_util.keystr(kp)]
+        assert arr.shape == np.shape(leaf), (kp, arr.shape, np.shape(leaf))
+        leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,210 @@
+"""jit/pjit training engine for joint-NLL flow training.
+
+Replaces the reference's Keras ``model.fit`` + custom ``train_step``
+(TOYcINN_make_model.py:453-506, conv_cINN_make_model.py:1850-1904) with a
+functional, sharding-aware step:
+
+- one jitted ``train_step(state, xy) -> (state, metrics)`` with donated state;
+- batch sharded over the mesh's ``data`` axis, params replicated; XLA derives
+  the gradient/metric psums from the shardings (no hand-written collectives);
+- instance-noise annealing (alpha ramp 0 -> 1 over N epochs, TOYcINN.py:249-287,
+  conv_cINN.py:589-628) applied ON DEVICE inside the step, keyed per batch;
+- early stopping with best-weight restore, CSV/JSONL history, checkpoint cadence.
+
+The noise pre-training stage (conv_pre_training_cINN_on_noise.py) is the same
+engine with a noise data source — see ``noise_batches``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from arl_conditional_normalizing_flows_tpu.ops import noise as noise_ops
+from arl_conditional_normalizing_flows_tpu.parallel import mesh as mesh_lib
+from arl_conditional_normalizing_flows_tpu.train.metrics import (
+    EarlyStopping,
+    HistoryLogger,
+    MeanMetrics,
+)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(model, example_xy, learning_rate, seed=0, tx=None):
+    """Init params with a dummy forward pass (the reference needs the same
+    dummy call before load_weights, conv_cINN.py:572-579) and build Adam."""
+    params = model.init(jax.random.PRNGKey(seed), example_xy)
+    if tx is None:
+        tx = optax.adam(learning_rate)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int] = None):
+    """Build jitted (train_step, eval_step).
+
+    Steps take ``(state, xy, key, alpha)``; instance noise
+    ``alpha*xy + (1-alpha)*N(0,1)`` is applied inside the step so annealing
+    needs no data-pipeline rebuilds (cf. conv_cINN.py:593-628 which re-maps
+    the whole tf.data pipeline every annealing epoch).
+
+    Args:
+        noise_mode: "full" (conv semantics: noise the whole xy tensor),
+            "x_only" (toy semantics, needs ``x_d``), or "none".
+
+    NOTE: ``train_step`` DONATES the incoming state's buffers (the standard
+    jit-update idiom). After ``state2, _ = train_step(state, ...)`` — or after
+    any ``fit(state, ...)`` — the ORIGINAL ``state`` is invalid; always
+    continue from the returned state (``FitResult.state``).
+    """
+
+    def add_noise(key, xy, alpha):
+        if noise_mode == "none":
+            return xy
+        if noise_mode == "x_only":
+            return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
+        return noise_ops.instance_noise(key, xy, alpha)
+
+    def loss_fn(params, xy):
+        out = model.apply(params, xy, method="log_loss")
+        return out["loss"], out
+
+    def _train_step(state, xy, key, alpha):
+        xy = add_noise(key, xy, alpha)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, out), grads = grad_fn(state.params, xy)
+        state = state.apply_gradients(grads=grads)
+        return state, out
+
+    def _eval_step(state, xy):
+        _, out = loss_fn(state.params, xy)
+        return out
+
+    if mesh is None:
+        train_step = jax.jit(_train_step, donate_argnums=(0,))
+        eval_step = jax.jit(_eval_step)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P("data"))
+        train_step = jax.jit(
+            _train_step,
+            in_shardings=(repl, batch, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(
+            _eval_step, in_shardings=(repl, batch), out_shardings=repl
+        )
+    return train_step, eval_step
+
+
+def noise_batches(key, num_batches, batch_size, shape, dtype=jnp.float32):
+    """Data source for noise pre-training: fresh N(0,1) xy batches every epoch
+    (conv_pre_training_cINN_on_noise.py:100-115)."""
+    keys = jax.random.split(key, num_batches)
+    for k in keys:
+        yield noise_ops.renew_noise(k, (batch_size,) + tuple(shape), dtype)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: HistoryLogger
+    completed_epochs: int
+    stopped_early: bool
+
+
+def fit(
+    state: TrainState,
+    train_step,
+    data_epoch_fn: Callable[[jax.Array, int], Iterable],
+    *,
+    key,
+    num_epochs: int,
+    eval_step=None,
+    val_epoch_fn: Optional[Callable[[jax.Array, int], Iterable]] = None,
+    num_annealing_epochs: int = 0,
+    patience: Optional[int] = None,
+    monitor: str = "loss",
+    history: Optional[HistoryLogger] = None,
+    mesh=None,
+    initial_epoch: int = 0,
+    checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
+    checkpoint_every: int = 0,
+    verbose: bool = True,
+) -> FitResult:
+    """Run the full training schedule: annealing ramp then clean epochs with
+    early stopping (the reference's two-phase driver, TOYcINN.py:249-293,
+    conv_cINN.py:589-636).
+
+    ``data_epoch_fn(key, epoch) -> iterable of xy batches`` feeds each epoch;
+    annealing epoch i uses alpha = i / num_annealing_epochs, later epochs use
+    alpha = 1 (plus whatever permanent noise floor the data source bakes in).
+    """
+    history = history or HistoryLogger()
+    stopper = EarlyStopping(patience) if patience is not None else None
+    metrics = MeanMetrics()
+    stopped = False
+    epoch = initial_epoch
+    total = num_annealing_epochs + num_epochs
+
+    for epoch in range(initial_epoch, total):
+        if epoch < num_annealing_epochs:
+            alpha = epoch / float(num_annealing_epochs)
+        else:
+            alpha = 1.0
+        alpha = jnp.float32(alpha)
+        key, k_epoch = jax.random.split(key)
+        metrics.reset()
+        t0 = time.time()
+        for i, xy in enumerate(data_epoch_fn(k_epoch, epoch)):
+            key, k_noise = jax.random.split(key)
+            if mesh is not None:
+                xy = mesh_lib.shard_batch(xy, mesh)
+            state, out = train_step(state, xy, k_noise, alpha)
+            metrics.update(jax.tree_util.tree_map(float, out))
+        row = metrics.result()
+        row["seconds"] = time.time() - t0
+        row["alpha"] = float(alpha)
+
+        if eval_step is not None and val_epoch_fn is not None:
+            vmetrics = MeanMetrics()
+            key, k_val = jax.random.split(key)
+            for xy in val_epoch_fn(k_val, epoch):
+                if mesh is not None:
+                    xy = mesh_lib.shard_batch(xy, mesh)
+                vmetrics.update(jax.tree_util.tree_map(float, eval_step(state, xy)))
+            row.update({f"val_{k}": v for k, v in vmetrics.result().items()})
+
+        history.log(epoch, row)
+        if verbose:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
+            print(f"epoch {epoch}: {msg}", flush=True)
+
+        if checkpoint_fn is not None and checkpoint_every and (
+            (epoch + 1) % checkpoint_every == 0
+        ):
+            checkpoint_fn(epoch, state)
+
+        # early stopping only once annealing is done (the reference's clean
+        # fit phase owns the EarlyStopping callback, TOYcINN.py:289-293)
+        if stopper is not None and epoch >= num_annealing_epochs:
+            if stopper.update(row.get(monitor, row["loss"]), state.params):
+                if stopper.best_state is not None:
+                    state = state.replace(params=stopper.best_state)
+                stopped = True
+                break
+
+    return FitResult(
+        state=state, history=history, completed_epochs=epoch + 1, stopped_early=stopped
+    )

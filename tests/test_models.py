@@ -1,0 +1,234 @@
+"""Model-level invariants: round-trip exactness, log-det vs autodiff Jacobian,
+latent layout parity, loss structure (SURVEY.md §4 test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arl_conditional_normalizing_flows_tpu.models import (
+    ConvCFlow,
+    ConvFlowConfig,
+    ToyCINN,
+    ToyConfig,
+    derive_blocks,
+    shuffle_mask_indices,
+)
+
+# small configs so autodiff Jacobians are cheap
+TOY_CFG = ToyConfig(num_coupling_layers=6, intermediate_dims=8, num_layers=1)
+CONV_CFG = ConvFlowConfig(
+    io_shape=(4, 4, 2),
+    x_d=1,
+    squeeze_factor_blocks=(0, 1),
+    res_blocks=(1, 1),
+    num_kernels=(8, 8),
+    cardinality=(2, 2),
+    ksize=3,
+)
+
+
+def init_toy(cfg=TOY_CFG, seed=0):
+    model = ToyCINN(cfg)
+    xy = jnp.zeros((2, cfg.io_shape))
+    params = model.init(jax.random.PRNGKey(seed), xy)
+    return model, params
+
+
+def init_conv(cfg=CONV_CFG, seed=0):
+    model = ConvCFlow(cfg)
+    xy = jnp.zeros((2,) + cfg.io_shape)
+    params = model.init(jax.random.PRNGKey(seed), xy)
+    return model, params
+
+
+def test_toy_roundtrip(rng):
+    model, params = init_toy()
+    xy = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    zy, log_det = model.apply(params, xy)
+    assert log_det.shape == (16,)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_toy_logdet_matches_autodiff(rng):
+    model, params = init_toy()
+    xy = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+
+    def f_single(x):
+        zy, _ = model.apply(params, x[None])
+        return zy[0]
+
+    _, log_det = model.apply(params, xy)
+    for i in range(xy.shape[0]):
+        J = jax.jacfwd(f_single)(xy[i])
+        sign, ref = np.linalg.slogdet(np.asarray(J))
+        assert sign > 0  # det is a product of exponentials
+        np.testing.assert_allclose(float(log_det[i]), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_toy_shuffled_order_still_bijective(rng):
+    order = shuffle_mask_indices(np.random.default_rng(7), 6)
+    cfg = ToyConfig(
+        num_coupling_layers=6, intermediate_dims=8, num_layers=1, mask_indices=order
+    )
+    model, params = init_toy(cfg)
+    xy = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_toy_loss_components(rng):
+    model, params = init_toy()
+    xy = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    out = model.apply(params, xy, method="log_loss")
+    assert set(out) == {"loss", "z_loss", "y_loss", "detJ_loss"}
+    np.testing.assert_allclose(
+        float(out["loss"]),
+        float(out["z_loss"] + out["y_loss"] + out["detJ_loss"]),
+        rtol=1e-5,
+    )
+
+
+def test_conv_roundtrip(rng):
+    model, params = init_conv()
+    xy = jnp.asarray(rng.normal(size=(4, 4, 4, 2)).astype(np.float32))
+    zy, log_det = model.apply(params, xy)
+    assert zy.shape == xy.shape  # latent reshaped to xy layout
+    assert log_det.shape == (4,)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_conv_roundtrip_no_squeeze(rng):
+    cfg = ConvFlowConfig(
+        io_shape=(4, 4, 2),
+        x_d=1,
+        squeeze_factor_blocks=(0,),
+        res_blocks=(1,),
+        num_kernels=(4,),
+        cardinality=(2,),
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_conv_roundtrip_two_squeezes(rng):
+    cfg = ConvFlowConfig(
+        io_shape=(8, 8, 2),
+        x_d=1,
+        squeeze_factor_blocks=(1, 1, 0),
+        res_blocks=(1, 1, 1),
+        num_kernels=(4, 4, 4),
+        cardinality=(2, 2, 2),
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    assert zy.shape == xy.shape
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_conv_logdet_matches_autodiff(rng):
+    model, params = init_conv()
+    xy = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+
+    def f_flat(x_flat):
+        zy, _ = model.apply(params, x_flat.reshape(1, 4, 4, 2))
+        return zy.reshape(-1)
+
+    _, log_det = model.apply(params, xy)
+    J = jax.jacfwd(f_flat)(xy.reshape(-1))
+    sign, ref = np.linalg.slogdet(np.asarray(J))
+    assert sign > 0
+    # float32 slogdet of a 32x32 Jacobian accumulates ~1e-3 absolute error
+    np.testing.assert_allclose(float(log_det[0]), ref, rtol=1e-3, atol=2e-3)
+
+
+def test_conv_y_passthrough_identity_at_init_is_not_assumed(rng):
+    # structure check: zy condition slice has the same shape as xy's
+    model, params = init_conv()
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    assert zy[..., CONV_CFG.x_d :].shape == xy[..., CONV_CFG.x_d :].shape
+
+
+def test_conv_sample_xy_inverts_forward(rng):
+    model, params = init_conv()
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    z, y = zy[..., :1], zy[..., 1:]
+    back = model.apply(params, z, y, method="sample_xy")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_conv_odd_channel_depth_roundtrip(rng):
+    # odd xy_d exercises the ceil/floor channel-mask asymmetry
+    # (conv_cINN_make_model.py:1092-1104)
+    cfg = ConvFlowConfig(
+        io_shape=(4, 4, 3),
+        x_d=2,
+        squeeze_factor_blocks=(0,),
+        res_blocks=(1,),
+        num_kernels=(4,),
+        cardinality=(2,),
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_conv_fused_subnet_roundtrip(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(CONV_CFG, fused_subnet=True)
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_derive_blocks_reference_arch():
+    # the reference default: 28x28x2, squeeze after block 2
+    cfg = ConvFlowConfig(
+        io_shape=(28, 28, 2),
+        x_d=1,
+        squeeze_factor_blocks=(0, 1, 0, 0),
+        res_blocks=(3, 3, 3, 3),
+        num_kernels=(64, 64, 32, 32),
+        cardinality=(8, 8, 4, 4),
+    )
+    blocks = derive_blocks(cfg)
+    assert [b.io_shape for b in blocks] == [
+        (28, 28, 2),
+        (28, 28, 2),
+        (14, 14, 4),
+        (14, 14, 4),
+    ]
+    assert [b.num_prev_factors for b in blocks] == [0, 0, 1, 1]
+    # dilation schedule: 28x28 -> dk 3,5,9 < 14.5 -> dil 1,2,4 (cw);
+    # checkerboard limit (14+1)/2 = 7.5 -> d in {1,2,4} all pass
+    assert blocks[0].dilations_channelwise == (1, 2, 4)
+    assert blocks[0].dilations_checkerboard == (1, 2, 4)
+    # 14x14: dk 3,5 < 7.5 -> 1,2 (cw); cb limit 7/2=3.5 -> d<2.25 -> 1,2
+    assert blocks[2].dilations_channelwise == (1, 2)
+    assert blocks[2].dilations_checkerboard == (1, 2)
+
+
+def test_layer_norm_variant_roundtrip(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(CONV_CFG, layer_norm=True)
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)

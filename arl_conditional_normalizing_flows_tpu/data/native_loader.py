@@ -1,0 +1,198 @@
+"""ctypes wrapper for the native C++ record loader (native/cnfrec_loader.cc).
+
+The native layer provides what the reference gets from TensorFlow's C++
+runtime (TFRecord reading + parse, conv_cINN_base_functions.py:26-65):
+zero-copy mmap of the record blob, threaded batch gather, and CRC
+verification.  Falls back transparently to the pure-Python reader in
+``data.records`` when the shared library cannot be built (g++ missing).
+
+The library is compiled on first use and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcnfrec.so")
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            _lib_failed = True
+            return None
+        lib.cnf_open.restype = ctypes.c_void_p
+        lib.cnf_open.argtypes = [ctypes.c_char_p]
+        lib.cnf_close.argtypes = [ctypes.c_void_p]
+        lib.cnf_count.restype = ctypes.c_int64
+        lib.cnf_count.argtypes = [ctypes.c_void_p]
+        lib.cnf_record_bytes.restype = ctypes.c_int64
+        lib.cnf_record_bytes.argtypes = [ctypes.c_void_p]
+        lib.cnf_header_json.restype = ctypes.c_char_p
+        lib.cnf_header_json.argtypes = [ctypes.c_void_p]
+        lib.cnf_verify_crc.restype = ctypes.c_int
+        lib.cnf_verify_crc.argtypes = [ctypes.c_void_p]
+        lib.cnf_gather.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.cnf_gather_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+class NativeRecordFile:
+    """One open .cnfrec file backed by the native loader (or the Python
+    mmap reader as fallback)."""
+
+    def __init__(self, path: str, verify: bool = False):
+        self.path = path
+        self._lib = _load_library()
+        if self._lib is not None:
+            self._h = self._lib.cnf_open(path.encode())
+            if not self._h:
+                raise IOError(f"cnf_open failed for {path}")
+            self.header = json.loads(self._lib.cnf_header_json(self._h).decode())
+            if verify and not self._lib.cnf_verify_crc(self._h):
+                raise IOError(f"{path}: CRC mismatch (native)")
+        else:
+            from arl_conditional_normalizing_flows_tpu.data import records
+
+            self._h = None
+            self.header = records.read_header(path)
+            self._arr = records.read_records(path, verify=verify)
+        self.count = int(self.header["count"])
+        self.record_shape = tuple(self.header["shape"])
+        self.dtype = np.dtype(self.header["dtype"])
+
+    def gather(self, indices: np.ndarray, out: Optional[np.ndarray] = None,
+               nthreads: int = 0) -> np.ndarray:
+        """Batch gather records[indices] into a contiguous array."""
+        indices = np.ascontiguousarray(indices, np.int64)
+        n = len(indices)
+        if out is None:
+            out = np.empty((n,) + self.record_shape, self.dtype)
+        if self._h is not None:
+            if nthreads <= 0:
+                nthreads = min(8, os.cpu_count() or 1)
+            self._lib.cnf_gather(
+                self._h,
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n,
+                out.ctypes.data_as(ctypes.c_void_p),
+                nthreads,
+            )
+        else:
+            out[...] = self._arr[indices]
+        return out
+
+    def close(self):
+        if self._h is not None and self._lib is not None:
+            self._lib.cnf_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def gather_multi(files: Sequence[NativeRecordFile], file_ids: np.ndarray,
+                 indices: np.ndarray, nthreads: int = 0) -> np.ndarray:
+    """Gather across several per-class files in one call."""
+    lib = _load_library()
+    file_ids = np.ascontiguousarray(file_ids, np.int32)
+    indices = np.ascontiguousarray(indices, np.int64)
+    n = len(indices)
+    f0 = files[0]
+    out = np.empty((n,) + f0.record_shape, f0.dtype)
+    if lib is not None and all(f._h is not None for f in files):
+        handles = (ctypes.c_void_p * len(files))(*[f._h for f in files])
+        if nthreads <= 0:
+            nthreads = min(8, os.cpu_count() or 1)
+        lib.cnf_gather_multi(
+            handles,
+            file_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            out.ctypes.data_as(ctypes.c_void_p),
+            nthreads,
+        )
+    else:
+        for i in range(n):
+            out[i] = files[file_ids[i]]._arr[indices[i]]
+    return out
+
+
+class PrefetchingEpochLoader:
+    """Double-buffered host-side epoch feeder: a background thread assembles
+    the NEXT batch (native gather) while the device computes on the current
+    one — the role tf.data's prefetch plays in the reference
+    (conv_cINN.py:328-329)."""
+
+    def __init__(self, file: NativeRecordFile, batch_size: int):
+        self.file = file
+        self.batch_size = batch_size
+
+    def epoch(self, order: np.ndarray):
+        import queue
+
+        order = np.asarray(order, np.int64)
+        nb = len(order) // self.batch_size
+        q: "queue.Queue" = __import__("queue").Queue(maxsize=2)
+
+        def worker():
+            for i in range(nb):
+                idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+                q.put(self.file.gather(idx))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()

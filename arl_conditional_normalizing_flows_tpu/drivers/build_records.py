@@ -1,0 +1,64 @@
+"""Dataset build driver (create_tfrecords.py as a CLI).
+
+Converts an image dataset into the native .cnfrec record files: one combined
+file per split for SR training, or one file per class for class-conditional
+training (create_tfrecords.py:54-67), then verifies them
+(create_tfrecords.py:366-400).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "fashion_mnist", "synthetic"])
+    p.add_argument("--which-classes", type=int, nargs="*", default=list(range(10)))
+    p.add_argument("--combined", action="store_true",
+                   help="one combined file (SR); default is per-class files")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--verify", action="store_true", default=True)
+    p.add_argument("--no-verify", dest="verify", action="store_false")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        load_image_dataset,
+        synthetic_digits,
+    )
+    from arl_conditional_normalizing_flows_tpu.data.records import (
+        verify_records,
+        write_class_sorted_dataset,
+    )
+
+    written = []
+    for split in ("train", "test"):
+        if args.dataset == "synthetic":
+            n = 256 if split == "train" else 64
+            x, y = synthetic_digits(num_per_class=n, seed=0 if split == "train" else 1)
+        else:
+            x, y = load_image_dataset(args.dataset, split)
+        written += write_class_sorted_dataset(
+            args.outdir, split, x, y, args.which_classes, args.combined
+        )
+    print(f"wrote {len(written)} files to {args.outdir}")
+    if args.verify:
+        report = verify_records(written)
+        print(json.dumps({k: {**v, "shape": list(v["shape"])} for k, v in report.items()}, indent=2))
+    return written
+
+
+def cli():
+    """Console-script entry: discard the return value so setuptools'
+    sys.exit(main()) doesn't print it and exit nonzero."""
+    main()
+    return 0
+
+
+if __name__ == "__main__":
+    cli()

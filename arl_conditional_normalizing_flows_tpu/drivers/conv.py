@@ -1,0 +1,246 @@
+"""Conv cINN training driver (the reference's conv_cINN.py as a CLI).
+
+Covers all three workloads (conv_cINN.py:28-30): class-conditional
+generation ('class') and the two super-resolution stages ('SR4,2', 'SR2,1'),
+with the reference's default architecture (conv_cINN.py:56-96): squeeze/factor
+[0,1,0,0], ResNeXt blocks [3,3,3,3], kernels [64,64,32,32], cardinality
+[8,8,4,4], ksize 3, auto dilations, batch 32, lr 3e-4, patience 20,
+100 annealing epochs, 500 total epochs, 2% noise floor.
+
+Example:
+    python -m arl_conditional_normalizing_flows_tpu.drivers.conv \
+        --model-type class --dataset synthetic --epochs 50 --outdir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-type", default="class", choices=["class", "SR4,2", "SR2,1"],
+                   help="conv_cINN.py:28-30")
+    p.add_argument("--dataset", default="mnist", choices=["mnist", "fashion_mnist", "synthetic"])
+    p.add_argument("--data-classes", type=int, nargs="*", default=[0, 1, 2, 3],
+                   help="conv_cINN.py:37")
+    p.add_argument("--records-dir", default=None,
+                   help="read pre-built .cnfrec files instead of raw arrays")
+    p.add_argument("--residual", action="store_true", default=True,
+                   help="SR residual target (conv_cINN.py:45)")
+    p.add_argument("--no-residual", dest="residual", action="store_false")
+    p.add_argument("--logits", action="store_true", default=True,
+                   help="discrete logit transform (conv_cINN.py:49)")
+    p.add_argument("--no-logits", dest="logits", action="store_false")
+    p.add_argument("--squeeze-factor", type=int, nargs="*", default=[0, 1, 0, 0])
+    p.add_argument("--res-blocks", type=int, nargs="*", default=[3, 3, 3, 3])
+    p.add_argument("--kernels", type=int, nargs="*", default=[64, 64, 32, 32])
+    p.add_argument("--cardinality", type=int, nargs="*", default=[8, 8, 4, 4])
+    p.add_argument("--ksize", type=int, default=3)
+    p.add_argument("--no-dilations", dest="dilations", action="store_false", default=True)
+    p.add_argument("--layer-norm", action="store_true")
+    p.add_argument("--fused-subnet", action="store_true",
+                   help="one two-headed A/b trunk per coupling (TPU perf option)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas coupling kernels")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--annealing-epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--checkpoint-every", type=int, default=10,
+                   help="epochs between checkpoints (conv_cINN.py:110)")
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--load", default=None, help="checkpoint dir or weights npz to warm-start (e.g. noise pre-training output)")
+    p.add_argument("--outdir", default="conv_run")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def load_arrays(args, split):
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        load_image_dataset,
+        synthetic_digits,
+    )
+
+    if args.records_dir:
+        return load_from_records(args, split)
+    if args.dataset == "synthetic":
+        n = 128 if split == "train" else 32
+        return synthetic_digits(num_per_class=n, seed=0 if split == "train" else 1)
+    return load_image_dataset(args.dataset, split)
+
+
+def load_from_records(args, split):
+    """Read pre-built .cnfrec files (per-class for 'class', combined for SR —
+    the layout written by drivers.build_records)."""
+    import os
+
+    from arl_conditional_normalizing_flows_tpu.data import records
+
+    split_name = "train" if split == "train" else "test"
+    if args.model_type == "class":
+        xs, ys = [], []
+        for c in args.data_classes:
+            arr = records.read_records(
+                records.class_file(args.records_dir, split_name, int(c))
+            )
+            xs.append(np.asarray(arr))
+            ys.append(np.full((len(arr),), int(c), np.int32))
+        return np.concatenate(xs), np.concatenate(ys)
+    path = records.combined_file(args.records_dir, split_name)
+    if not os.path.exists(path):
+        # fall back to concatenating per-class files
+        xs = [
+            np.asarray(records.read_records(records.class_file(args.records_dir, split_name, int(c))))
+            for c in args.data_classes
+        ]
+        arr = np.concatenate(xs)
+        return arr, np.zeros((len(arr),), np.int32)
+    arr = np.asarray(records.read_records(path))
+    return arr, np.zeros((len(arr),), np.int32)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+        SRSource,
+    )
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ConvCFlow,
+        ConvFlowConfig,
+        arch_string,
+    )
+    from arl_conditional_normalizing_flows_tpu.parallel import make_mesh
+    from arl_conditional_normalizing_flows_tpu.train import (
+        CheckpointManager,
+        HistoryLogger,
+        create_train_state,
+        fit,
+        load_params_npz,
+        make_step_fns,
+    )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    train_x, train_y = load_arrays(args, "train")
+    val_x, val_y = load_arrays(args, "test")
+
+    if args.model_type == "class":
+        train_src = ClassConditionalSource(
+            train_x, train_y, args.data_classes, args.batch_size,
+            use_logits=args.logits,
+        )
+        val_src = ClassConditionalSource(
+            val_x, val_y, args.data_classes, args.batch_size,
+            use_logits=args.logits,
+        )
+        x_d = train_x.shape[-1] if train_x.ndim == 4 else 1
+        y_d = 1
+    else:
+        train_src = SRSource(train_x, args.model_type, args.batch_size,
+                             residual=args.residual)
+        val_src = SRSource(val_x, args.model_type, args.batch_size,
+                           residual=args.residual)
+        x_d = train_x.shape[-1] if train_x.ndim == 4 else 1
+        y_d = x_d
+
+    h, w, xy_d = train_src.xy_shape
+    assert xy_d == x_d + y_d
+
+    cfg = ConvFlowConfig(
+        io_shape=(h, w, xy_d),
+        x_d=x_d,
+        squeeze_factor_blocks=tuple(args.squeeze_factor),
+        res_blocks=tuple(args.res_blocks),
+        num_kernels=tuple(args.kernels),
+        cardinality=tuple(args.cardinality),
+        ksize=args.ksize,
+        dilations=args.dilations,
+        layer_norm=args.layer_norm,
+        fused_subnet=args.fused_subnet,
+        compute_dtype=args.dtype,
+        use_pallas_coupling=args.pallas,
+    )
+    model = ConvCFlow(cfg)
+    print("arch:", arch_string(cfg))
+
+    mesh = make_mesh() if args.data_parallel else None
+    state = create_train_state(
+        model, jnp.zeros((1, h, w, xy_d)), args.lr, seed=args.seed
+    )
+    ckpt_dir = os.path.join(args.outdir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir, config=cfg)
+    initial_epoch = 0
+    if args.load:
+        if args.load.endswith(".npz"):
+            state = state.replace(params=load_params_npz(args.load, state.params))
+        else:
+            ep, state = CheckpointManager(args.load, config=cfg).restore(state)
+            print(f"restored epoch {ep} from {args.load}")
+    elif mgr.latest_epoch() is not None:
+        ep, state = mgr.restore(state)
+        initial_epoch = ep + 1
+        print(f"resuming from epoch {ep}")
+
+    train_step, eval_step = make_step_fns(model, mesh=mesh, noise_mode="full")
+    history = HistoryLogger(
+        csv_path=os.path.join(args.outdir, "history.csv"),
+        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+    )
+    res = fit(
+        state,
+        train_step,
+        lambda k, e: train_src.epoch(k, e),
+        key=jax.random.PRNGKey(args.seed),
+        num_epochs=args.epochs,
+        num_annealing_epochs=args.annealing_epochs,
+        eval_step=eval_step,
+        val_epoch_fn=lambda k, e: val_src.epoch(k, e),
+        patience=args.patience,
+        monitor="val_loss",
+        history=history,
+        mesh=mesh,
+        initial_epoch=initial_epoch,
+        checkpoint_fn=lambda ep, st: mgr.save(ep, st),
+        checkpoint_every=args.checkpoint_every,
+    )
+    mgr.save(res.completed_epochs - 1, res.state)
+    mgr.close()
+
+    # bits/dim on the validation NLL (the parity metric, BASELINE.md)
+    final = history.rows[-1] if history.rows else {}
+    n_x_dims = h * w * x_d
+    if "val_z_loss" in final:
+        nll_x = final["val_z_loss"] + final["val_detJ_loss"]
+        final["val_bits_per_dim"] = nll_x / (np.log(2.0) * n_x_dims)
+    with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+        json.dump(final, f, indent=2)
+    print(json.dumps(final, indent=2))
+    return res
+
+
+def cli():
+    """Console-script entry: discard the return value so setuptools'
+    sys.exit(main()) doesn't print it and exit nonzero."""
+    main()
+    return 0
+
+
+if __name__ == "__main__":
+    cli()

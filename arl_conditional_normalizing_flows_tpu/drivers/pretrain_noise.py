@@ -1,0 +1,119 @@
+"""Noise pre-training driver (conv_pre_training_cINN_on_noise.py as a CLI).
+
+Warm-starts a conv cINN on pure N(0,1) xy data so the model learns
+identity-on-y and Gaussian-z first (README.md:92-98).  The architecture MUST
+match the later real training exactly — here that contract is enforced by the
+checkpoint arch metadata rather than by filename encoding
+(conv_pre_training_cINN_on_noise.py:47-60).
+
+Reference defaults: 20 batches x batch 512, lr 3e-4, 100 epochs, early
+stopping patience 10 on train loss (conv_pre_training_cINN_on_noise.py:24-29).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--height", type=int, default=28)
+    p.add_argument("--width", type=int, default=28)
+    p.add_argument("--xy-depth", type=int, default=2)
+    p.add_argument("--x-d", type=int, default=1)
+    p.add_argument("--squeeze-factor", type=int, nargs="*", default=[0, 1, 0, 0])
+    p.add_argument("--res-blocks", type=int, nargs="*", default=[3, 3, 3, 3])
+    p.add_argument("--kernels", type=int, nargs="*", default=[64, 64, 32, 32])
+    p.add_argument("--cardinality", type=int, nargs="*", default=[8, 8, 4, 4])
+    p.add_argument("--ksize", type=int, default=3)
+    p.add_argument("--no-dilations", dest="dilations", action="store_false", default=True)
+    p.add_argument("--layer-norm", action="store_true")
+    p.add_argument("--fused-subnet", action="store_true")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--num-batches", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--outdir", default="noise_pretrain")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.train import (
+        CheckpointManager,
+        HistoryLogger,
+        create_train_state,
+        fit,
+        make_step_fns,
+        noise_batches,
+        save_params_npz,
+    )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    cfg = ConvFlowConfig(
+        io_shape=(args.height, args.width, args.xy_depth),
+        x_d=args.x_d,
+        squeeze_factor_blocks=tuple(args.squeeze_factor),
+        res_blocks=tuple(args.res_blocks),
+        num_kernels=tuple(args.kernels),
+        cardinality=tuple(args.cardinality),
+        ksize=args.ksize,
+        dilations=args.dilations,
+        layer_norm=args.layer_norm,
+        fused_subnet=args.fused_subnet,
+        compute_dtype=args.dtype,
+        use_pallas_coupling=args.pallas,
+    )
+    model = ConvCFlow(cfg)
+    shape = cfg.io_shape
+    state = create_train_state(model, jnp.zeros((1,) + shape), args.lr, seed=args.seed)
+    train_step, _ = make_step_fns(model, noise_mode="none")
+
+    history = HistoryLogger(
+        csv_path=os.path.join(args.outdir, "history.csv"),
+        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+    )
+    res = fit(
+        state,
+        train_step,
+        lambda k, e: noise_batches(k, args.num_batches, args.batch_size, shape),
+        key=jax.random.PRNGKey(args.seed),
+        num_epochs=args.epochs,
+        patience=args.patience,
+        history=history,
+    )
+    mgr = CheckpointManager(os.path.join(args.outdir, "checkpoints"), config=cfg)
+    mgr.save(res.completed_epochs - 1, res.state)
+    mgr.close()
+    save_params_npz(os.path.join(args.outdir, "conditioned_weights.npz"), res.state.params)
+    final = history.rows[-1] if history.rows else {}
+    print(json.dumps(final, indent=2))
+    return res
+
+
+def cli():
+    """Console-script entry: discard the return value so setuptools'
+    sys.exit(main()) doesn't print it and exit nonzero."""
+    main()
+    return 0
+
+
+if __name__ == "__main__":
+    cli()

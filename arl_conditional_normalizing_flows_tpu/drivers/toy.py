@@ -1,0 +1,187 @@
+"""Toy cINN training/eval driver (the reference's TOYcINN.py as a CLI).
+
+Reference hyperparameter block: TOYcINN.py:32-183.  Defaults here mirror the
+reference defaults: 4 coupling blocks x 6 masks = 24 layers, intermediate
+dims 32, 6 dense layers, batch 1000, lr 1e-4, 10 annealing epochs, early
+stopping patience 10 on train loss.
+
+Example:
+    python -m arl_conditional_normalizing_flows_tpu.drivers.toy \
+        --dataset crescents --epochs 200 --outdir /tmp/toy_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--dataset",
+        default="crescents",
+        choices=["crescents", "crescents_overlapping", "mixed", "continuous_sectors"],
+        help="TOYcINN.py:37-62",
+    )
+    p.add_argument("--which-classes", type=int, nargs="*", default=[0, 1, 4],
+                   help="mixed-shapes class subset (TOYcINN.py:56)")
+    p.add_argument("--noise", type=float, default=0.05, help="crescent noise")
+    p.add_argument("--sector-width", type=float, default=np.pi / 4)
+    p.add_argument("--coupling-blocks", type=int, default=4,
+                   help="x6 masks = num coupling layers (TOYcINN.py:93)")
+    p.add_argument("--intermediate-dims", type=int, default=32)
+    p.add_argument("--num-layers", type=int, default=6)
+    p.add_argument("--batch-size", type=int, default=1000)
+    p.add_argument("--batches-per-class", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--annealing-epochs", type=int, default=10)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fixed-mask-order", action="store_true",
+                   help="skip the within-group mask shuffle (TOYcINN.py:172-182)")
+    p.add_argument("--load", default=None, help="npz weights to resume from")
+    p.add_argument("--outdir", default="toy_run")
+    p.add_argument("--eval-samples", type=int, default=2000)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data import toy_datasets
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ToyCINN,
+        ToyConfig,
+        shuffle_mask_indices,
+    )
+    from arl_conditional_normalizing_flows_tpu.sample import (
+        conditional_moments,
+        sample_conditional,
+    )
+    from arl_conditional_normalizing_flows_tpu.train import (
+        HistoryLogger,
+        create_train_state,
+        fit,
+        load_params_npz,
+        make_step_fns,
+        save_params_npz,
+    )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    num_layers_total = 6 * args.coupling_blocks
+
+    # layer-order permutation is part of the model identity (TOYcINN.py:174)
+    if args.fixed_mask_order:
+        order = tuple(range(num_layers_total))
+    else:
+        order = shuffle_mask_indices(
+            np.random.default_rng(args.seed), num_layers_total
+        )
+
+    cfg = ToyConfig(
+        num_coupling_layers=num_layers_total,
+        intermediate_dims=args.intermediate_dims,
+        num_layers=args.num_layers,
+        mask_indices=order,
+    )
+    model = ToyCINN(cfg)
+
+    if args.dataset in ("crescents", "crescents_overlapping"):
+        ds = toy_datasets.make_moons_dataset(
+            noise=args.noise, overlapping=args.dataset.endswith("overlapping")
+        )
+    elif args.dataset == "mixed":
+        ds = toy_datasets.make_mixed_dataset(args.which_classes)
+    else:
+        ds = None  # continuous sectors: no class structure
+
+    state = create_train_state(model, jnp.zeros((2, 3)), args.lr, seed=args.seed)
+    if args.load:
+        state = state.replace(params=load_params_npz(args.load, state.params))
+    train_step, eval_step = make_step_fns(model, noise_mode="x_only", x_d=cfg.x_d)
+
+    if ds is not None:
+        def data_epoch(key, epoch):
+            return ds.epoch_iterator(key, args.batches_per_class, args.batch_size)
+    else:
+        n_batches = args.batches_per_class * 2
+
+        def data_epoch(key, epoch):
+            import jax as _jax
+
+            for k in _jax.random.split(key, n_batches):
+                yield toy_datasets.sample_continuous_sectors(
+                    k, args.batch_size, args.sector_width
+                )
+
+    history = HistoryLogger(
+        csv_path=os.path.join(args.outdir, "history.csv"),
+        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+    )
+    res = fit(
+        state,
+        train_step,
+        data_epoch,
+        key=jax.random.PRNGKey(args.seed),
+        num_epochs=args.epochs,
+        num_annealing_epochs=args.annealing_epochs,
+        patience=args.patience,
+        history=history,
+    )
+
+    save_params_npz(
+        os.path.join(args.outdir, "weights.npz"),
+        res.state.params,
+        extra={"mask_indices": np.asarray(order)},
+    )
+
+    # conditional-sampling eval: per-class moments (the quantitative core of
+    # the reference's plot harness, TOYcINN.py:321-757)
+    report = {"final": history.rows[-1] if history.rows else {}}
+    if ds is not None:
+        per_class = {}
+        for ci, lab in enumerate(ds.class_labels):
+            lab_std = (lab - ds.mean[2]) / ds.std[2]
+            s = sample_conditional(
+                model, res.state.params, jax.random.PRNGKey(100 + ci),
+                lab_std, args.eval_samples, x_d=cfg.x_d,
+            )
+            m = conditional_moments(s[..., : cfg.x_d])
+            truth = ds.sample_class_batch(
+                jax.random.PRNGKey(200 + ci), ci, args.eval_samples
+            )
+            per_class[str(lab)] = {
+                "sample_mean": np.asarray(m["mean"]).tolist(),
+                "sample_std": np.asarray(m["std"]).tolist(),
+                "true_mean": np.asarray(truth[:, : cfg.x_d].mean(0)).tolist(),
+                "true_std": np.asarray(truth[:, : cfg.x_d].std(0)).tolist(),
+                "y_identity_mean": float(s[:, cfg.x_d :].mean()),
+            }
+        report["per_class_moments"] = per_class
+    with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report.get("final", {}), indent=2))
+    return res
+
+
+def cli():
+    """Console-script entry: discard the return value so setuptools'
+    sys.exit(main()) doesn't print it and exit nonzero."""
+    main()
+    return 0
+
+
+if __name__ == "__main__":
+    cli()

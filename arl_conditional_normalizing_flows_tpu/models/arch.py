@@ -39,6 +39,10 @@ class ConvFlowConfig:
     # Compute dtype for the coupling subnets (params stay float32; log-det and
     # loss accumulate in float32 regardless).
     compute_dtype: str = "float32"
+    # Use the fused Pallas TPU kernel for the coupling law + log-det
+    # (ops.pallas.affine_coupling). Identical math; single-VMEM-pass with
+    # rematerialized backward. Falls back to the jnp path off-TPU.
+    use_pallas_coupling: bool = False
 
     def __post_init__(self):
         n = len(self.squeeze_factor_blocks)
@@ -100,6 +104,14 @@ def derive_blocks(cfg: ConvFlowConfig) -> Tuple[BlockPlan, ...]:
                 assert nkc % d == 0, (
                     f"num_kernels/cardinality must be divisible by dilation {d} "
                     f"at block {i} (conv_cINN_make_model.py:1612-1617)"
+                )
+            # checkerboard couplings run with HALF the kernels
+            # (conv_cINN_make_model.py:419-423); each dilated branch must
+            # still split evenly into cardinality groups
+            for d in dil_cb:
+                assert (cfg.num_kernels[i] // 2 // d) % cfg.cardinality[i] == 0, (
+                    f"checkerboard branch width (num_kernels/2/{d}) must be "
+                    f"divisible by cardinality at block {i}"
                 )
         blocks.append(
             BlockPlan(

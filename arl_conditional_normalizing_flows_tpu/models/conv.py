@@ -40,6 +40,10 @@ from arl_conditional_normalizing_flows_tpu.models.toy import standard_normal_log
 from arl_conditional_normalizing_flows_tpu.ops import coupling as coupling_ops
 from arl_conditional_normalizing_flows_tpu.ops import masks as mask_ops
 from arl_conditional_normalizing_flows_tpu.ops import squeeze as squeeze_ops
+from arl_conditional_normalizing_flows_tpu.ops.pallas import (
+    fused_affine_forward,
+    fused_affine_inverse,
+)
 
 
 class ConvCouplingLayer(nn.Module):
@@ -54,6 +58,7 @@ class ConvCouplingLayer(nn.Module):
     dilations: Tuple[int, ...]
     layer_norm: bool
     fused_subnet: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -94,7 +99,10 @@ class ConvCouplingLayer(nn.Module):
         u1c = mask_ops.compress(u, m)
         u2c = mask_ops.compress(u, mask_ops.COMPLEMENT[m])
         a, b = self._coupling_fn(u1c)
-        v2c, delta = coupling_ops.affine_forward(a, b, u2c)
+        if self.use_pallas:
+            v2c, delta = fused_affine_forward(a, b, u2c)
+        else:
+            v2c, delta = coupling_ops.affine_forward(a, b, u2c)
         v = mask_ops.combine(u1c, v2c, m)
         return v, delta
 
@@ -103,7 +111,10 @@ class ConvCouplingLayer(nn.Module):
         v1c = mask_ops.compress(v, m)
         v2c = mask_ops.compress(v, mask_ops.COMPLEMENT[m])
         a, b = self._coupling_fn(v1c)
-        u2c = coupling_ops.affine_inverse(a, b, v2c)
+        if self.use_pallas:
+            u2c = fused_affine_inverse(a, b, v2c)
+        else:
+            u2c = coupling_ops.affine_inverse(a, b, v2c)
         return mask_ops.combine(v1c, u2c, m)
 
 
@@ -147,6 +158,7 @@ class ConvCFlow(nn.Module):
                         dilations=dil,
                         layer_norm=cfg.layer_norm,
                         fused_subnet=cfg.fused_subnet,
+                        use_pallas=cfg.use_pallas_coupling,
                         dtype=compute_dtype,
                     )
                 )

@@ -1,0 +1,155 @@
+"""Driver CLI smoke tests: tiny end-to-end runs of each driver."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_build_records_and_conv_records_roundtrip(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import build_records
+
+    out = str(tmp_path / "recs")
+    written = build_records.main(
+        ["--dataset", "synthetic", "--which-classes", "0", "1", "--outdir", out]
+    )
+    assert len(written) == 4  # 2 classes x 2 splits
+    from arl_conditional_normalizing_flows_tpu.data import records
+
+    arr = records.read_records(records.class_file(out, "train", 0), verify=True)
+    assert arr.shape[1:] == (28, 28, 1)
+
+
+def test_toy_driver_tiny(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import toy
+
+    out = str(tmp_path / "toy")
+    res = toy.main(
+        [
+            "--dataset", "crescents",
+            "--coupling-blocks", "1",
+            "--intermediate-dims", "8",
+            "--num-layers", "1",
+            "--batch-size", "64",
+            "--batches-per-class", "2",
+            "--epochs", "2",
+            "--annealing-epochs", "1",
+            "--eval-samples", "64",
+            "--outdir", out,
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "weights.npz"))
+    assert os.path.exists(os.path.join(out, "history.csv"))
+    with open(os.path.join(out, "eval.json")) as f:
+        report = json.load(f)
+    assert "per_class_moments" in report
+    assert np.isfinite(report["final"]["loss"])
+
+
+def test_conv_driver_tiny_class(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import conv
+
+    out = str(tmp_path / "conv")
+    res = conv.main(
+        [
+            "--model-type", "class",
+            "--dataset", "synthetic",
+            "--data-classes", "0", "1",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "2",
+            "--annealing-epochs", "1",
+            "--checkpoint-every", "0",
+            "--outdir", out,
+        ]
+    )
+    with open(os.path.join(out, "eval.json")) as f:
+        final = json.load(f)
+    assert "val_bits_per_dim" in final
+    assert np.isfinite(final["loss"])
+
+
+def test_conv_driver_tiny_sr(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import conv
+
+    out = str(tmp_path / "convsr")
+    conv.main(
+        [
+            "--model-type", "SR2,1",
+            "--dataset", "synthetic",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "1",
+            "--annealing-epochs", "1",
+            "--checkpoint-every", "0",
+            "--outdir", out,
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "history.jsonl"))
+
+
+def test_pretrain_noise_driver_tiny(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import pretrain_noise
+
+    out = str(tmp_path / "noise")
+    pretrain_noise.main(
+        [
+            "--height", "8", "--width", "8",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--num-batches", "2",
+            "--batch-size", "16",
+            "--epochs", "2",
+            "--outdir", out,
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "conditioned_weights.npz"))
+
+
+def test_conv_driver_warm_start_from_pretrain(tmp_path):
+    """The pre-training -> training hand-off (README.md:92-98): conv driver
+    loads the noise-pretrained weights npz."""
+    from arl_conditional_normalizing_flows_tpu.drivers import conv, pretrain_noise
+
+    noise_out = str(tmp_path / "noise")
+    pretrain_noise.main(
+        [
+            "--height", "28", "--width", "28",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--num-batches", "1",
+            "--batch-size", "8",
+            "--epochs", "1",
+            "--outdir", noise_out,
+        ]
+    )
+    out = str(tmp_path / "conv")
+    conv.main(
+        [
+            "--model-type", "class",
+            "--dataset", "synthetic",
+            "--data-classes", "0", "1",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "1",
+            "--annealing-epochs", "0",
+            "--checkpoint-every", "0",
+            "--load", os.path.join(noise_out, "conditioned_weights.npz"),
+            "--outdir", out,
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "eval.json"))

@@ -1,0 +1,78 @@
+"""Evaluation stats and plot smoke tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arl_conditional_normalizing_flows_tpu.evaluation import (
+    bits_per_dim,
+    latent_normality_stats,
+    moment_match_report,
+    sr_residual_block_sums,
+    y_identity_error,
+)
+
+
+def test_bits_per_dim():
+    # uniform over 256 levels: NLL = ln(256) nats/dim -> 8 bits/dim
+    assert abs(bits_per_dim(np.log(256.0) * 784, 784) - 8.0) < 1e-9
+
+
+def test_latent_normality_on_true_gaussian(rng):
+    z = rng.normal(size=(20000, 2))
+    s = latent_normality_stats(z)
+    assert s["mean_abs_mean"] < 0.05
+    assert s["mean_abs_std_err"] < 0.05
+    assert s["mean_abs_excess_kurtosis"] < 0.2
+
+
+def test_moment_match_identical_distribution(rng):
+    a = rng.normal(size=(5000, 3))
+    b = rng.normal(size=(5000, 3))
+    r = moment_match_report(a, b)
+    assert r["max_mean_diff"] < 5 * r["mc_standard_error"] + 0.05
+
+
+def test_y_identity_error():
+    xy = np.zeros((10, 3))
+    xy[:, 2] = 1.5
+    r = y_identity_error(xy, 1.5, x_d=2)
+    assert r["max_abs"] == 0.0
+
+
+def test_sr_residual_block_sums_zero_by_construction(rng):
+    from arl_conditional_normalizing_flows_tpu.data.images import preprocess_sr
+
+    hires = jnp.asarray(rng.uniform(0, 1, size=(4, 28, 28, 1)).astype(np.float32))
+    xy = preprocess_sr(hires, "SR2,1", residual=True)
+    x = np.asarray(xy[..., :1])
+    r = sr_residual_block_sums(x)
+    assert r["max_abs_block_sum"] < 1e-4
+
+
+def test_plots_smoke(tmp_path, rng):
+    from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+    xy = rng.normal(size=(200, 3)).astype(np.float32)
+    plots.plot_toy_joint(xy, tmp_path / "joint.png")
+    plots.plot_toy_conditional_grid(
+        [rng.normal(size=(50, 2)) for _ in range(3)], [0.0, 1.0, 2.0],
+        tmp_path / "grid.png",
+    )
+    plots.plot_latent(rng.normal(size=(200, 2)), tmp_path / "latent.png")
+    plots.plot_loss_curves(
+        [{"epoch": i, "loss": 1.0 / (i + 1), "z_loss": 0.5} for i in range(5)],
+        tmp_path / "loss.png",
+        keys=("loss", "z_loss"),
+    )
+    plots.plot_image_grid(rng.uniform(size=(6, 8, 8, 1)), tmp_path / "imgs.png")
+    plots.plot_sr_comparison(
+        rng.uniform(size=(6, 8, 8, 1)),
+        rng.uniform(size=(6, 8, 8, 1)),
+        rng.uniform(size=(6, 8, 8, 1)),
+        tmp_path / "sr.png",
+    )
+    for f in ["joint.png", "grid.png", "latent.png", "loss.png", "imgs.png", "sr.png"]:
+        assert os.path.getsize(tmp_path / f) > 0

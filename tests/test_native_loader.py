@@ -1,0 +1,80 @@
+"""Native C++ record loader vs the pure-Python reader."""
+
+import numpy as np
+import pytest
+
+from arl_conditional_normalizing_flows_tpu.data import records
+from arl_conditional_normalizing_flows_tpu.data import native_loader
+
+
+@pytest.fixture
+def record_file(tmp_path, rng):
+    arr = rng.normal(size=(100, 6, 6, 2)).astype(np.float32)
+    path = str(tmp_path / "t.cnfrec")
+    records.write_records(path, arr, label=1)
+    return path, arr
+
+
+def test_native_available():
+    # g++ is in the image; the library must build
+    assert native_loader.native_available()
+
+
+def test_header_and_count(record_file):
+    path, arr = record_file
+    f = native_loader.NativeRecordFile(path, verify=True)
+    assert f.count == 100
+    assert f.record_shape == (6, 6, 2)
+    assert f.dtype == np.float32
+    f.close()
+
+
+def test_gather_matches_python(record_file, rng):
+    path, arr = record_file
+    f = native_loader.NativeRecordFile(path)
+    idx = rng.integers(0, 100, size=37)
+    got = f.gather(idx)
+    np.testing.assert_array_equal(got, arr[idx])
+    f.close()
+
+
+def test_gather_multi(tmp_path, rng):
+    arrs, files = [], []
+    for c in range(3):
+        a = rng.normal(size=(20, 4, 4, 1)).astype(np.float32)
+        p = str(tmp_path / f"c{c}.cnfrec")
+        records.write_records(p, a, label=c)
+        arrs.append(a)
+        files.append(native_loader.NativeRecordFile(p))
+    fid = rng.integers(0, 3, size=50).astype(np.int32)
+    idx = rng.integers(0, 20, size=50)
+    got = native_loader.gather_multi(files, fid, idx)
+    want = np.stack([arrs[f][i] for f, i in zip(fid, idx)])
+    np.testing.assert_array_equal(got, want)
+    for f in files:
+        f.close()
+
+
+def test_crc_detects_corruption(tmp_path, rng):
+    arr = rng.normal(size=(10, 4)).astype(np.float32)
+    path = str(tmp_path / "c.cnfrec")
+    records.write_records(path, arr)
+    # flip a byte in the blob
+    with open(path, "r+b") as f:
+        f.seek(-1, 2)
+        b = f.read(1)
+        f.seek(-1, 2)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(IOError):
+        native_loader.NativeRecordFile(path, verify=True)
+
+
+def test_prefetching_epoch_loader(record_file, rng):
+    path, arr = record_file
+    f = native_loader.NativeRecordFile(path)
+    order = rng.permutation(100)
+    batches = list(native_loader.PrefetchingEpochLoader(f, 10).epoch(order))
+    assert len(batches) == 10
+    got = np.concatenate(batches)
+    np.testing.assert_array_equal(got, arr[order[:100]])
+    f.close()

@@ -58,16 +58,21 @@ class DenseCouplingNet(nn.Module):
     heads Dense(u2_size); the A head gets tanh, the b head is linear
     (TOYcINN_make_model.py:29-97; no learned scale — deliberately omitted,
     TOYcINN_make_model.py:91-92).
+
+    Kernel init is glorot_uniform: the toy reference STORES an ``init``
+    argument but never passes it to its Dense layers
+    (TOYcINN_make_model.py:138 vs :29-97), so they use the Keras default.
+    Orthogonal(0.1) here (as the driver intends, TOYcINN.py:100-101) makes
+    the 7-layer stacks effectively dead at lr 1e-4 — detJ never trains.
     """
 
     u2_size: int
     intermediate_dims: int
     num_layers: int
-    init_scale: float = 0.1
 
     @nn.compact
     def __call__(self, u1):
-        kinit = orthogonal_init(self.init_scale)
+        kinit = nn.initializers.glorot_uniform()
         a = b = u1
         for _ in range(self.num_layers + 1):
             b = leaky_relu(nn.Dense(self.intermediate_dims, kernel_init=kinit)(b))

@@ -1,0 +1,295 @@
+"""Toy-model parity harness against the UNMODIFIED reference implementation.
+
+Two checks (results written to benchmarks/results/):
+
+1. ``transplant`` — build the reference ``cINN_affine`` (TF) and our
+   ``ToyCINN`` (JAX) with the SAME mask order, copy the reference's weights
+   into our parameter tree, and compare encode outputs, per-sample log-dets,
+   decode outputs, and the four loss components on the same batch.  This is
+   an EXACT functional-equivalence test of the architecture.
+
+2. ``train`` — train both implementations on the crescents task with a
+   matched budget (same arch, Adam lr, batch size, annealing schedule) and
+   record the final joint-NLL components for PARITY.md.
+
+Run:  python benchmarks/parity_toy.py [transplant|train|all]
+Requires the read-only reference checkout (see reference_shim.REFERENCE_PATH).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+
+def _ref_dense_layers(keras_model):
+    """The reference coupling sub-Model's Dense layers in CREATION order:
+    b-stack, b-head, A-stack, A-head (TOYcINN_make_model.py:52-96) — matching
+    our DenseCouplingNet's Dense_0..Dense_{2L+3} call order."""
+    denses = [l for l in keras_model.layers if l.__class__.__name__ == "Dense"]
+
+    def order_key(l):
+        parts = l.name.rsplit("_", 1)
+        return int(parts[1]) if len(parts) == 2 and parts[1].isdigit() else -1
+
+    return sorted(denses, key=order_key)
+
+
+def transplant(num_coupling_layers=12, intermediate_dims=16, num_layers=2, batch=64):
+    import tensorflow as tf
+
+    from reference_shim import import_toy_reference
+
+    ref = import_toy_reference()
+    tf.random.set_seed(0)
+    np.random.seed(0)
+    ref_model = ref.cINN_affine(
+        3, 2, num_coupling_layers, intermediate_dims, num_layers,
+        tf.keras.initializers.Orthogonal(0.5), None,
+    )
+    mask_order = tuple(int(i) for i in ref_model.mask_indices)
+
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
+
+    cfg = ToyConfig(
+        num_coupling_layers=num_coupling_layers,
+        intermediate_dims=intermediate_dims,
+        num_layers=num_layers,
+        mask_indices=mask_order,
+    )
+    ours = ToyCINN(cfg)
+    params = ours.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+
+    # copy reference weights into our tree
+    import flax
+
+    p = flax.core.unfreeze(params)["params"] if hasattr(params, "unfreeze") else dict(params["params"])
+    p = dict(params["params"])
+    for j in range(num_coupling_layers):
+        denses = _ref_dense_layers(ref_model.coupling_layers_list[j])
+        ours_layer = dict(p[f"couplings_{j}"])
+        assert len(denses) == len(ours_layer), (len(denses), len(ours_layer))
+        for k, dense in enumerate(denses):
+            kern, bias = dense.get_weights()
+            key = f"Dense_{k}"
+            assert ours_layer[key]["kernel"].shape == kern.shape, (
+                j, k, ours_layer[key]["kernel"].shape, kern.shape)
+            ours_layer[key] = {"kernel": jnp.asarray(kern), "bias": jnp.asarray(bias)}
+        p[f"couplings_{j}"] = ours_layer
+    params = {"params": p}
+
+    rng = np.random.default_rng(42)
+    xy = rng.normal(size=(batch, 3)).astype(np.float32)
+
+    z_ref, ld_ref = ref_model(tf.constant(xy), -1)
+    z_ref, ld_ref = np.asarray(z_ref), np.asarray(ld_ref)
+    z_ours, ld_ours = ours.apply(params, jnp.asarray(xy))
+    z_ours, ld_ours = np.asarray(z_ours), np.asarray(ld_ours)
+
+    back_ref, _ = ref_model(tf.constant(z_ref), 1)
+    back_ours = ours.apply(params, jnp.asarray(z_ours), method="inverse")
+
+    ref_loss = [float(x) for x in ref_model.log_loss(tf.constant(xy))]
+    ours_loss = ours.apply(params, jnp.asarray(xy), method="log_loss")
+
+    out = {
+        "config": {
+            "num_coupling_layers": num_coupling_layers,
+            "intermediate_dims": intermediate_dims,
+            "num_layers": num_layers,
+            "batch": batch,
+        },
+        "encode_max_abs_diff": float(np.abs(z_ref - z_ours).max()),
+        "logdet_max_abs_diff": float(np.abs(ld_ref - ld_ours).max()),
+        "decode_max_abs_diff": float(np.abs(np.asarray(back_ref) - np.asarray(back_ours)).max()),
+        "loss_components_ref": dict(
+            zip(["loss", "z_loss", "y_loss", "detJ_loss"], ref_loss)
+        ),
+        "loss_components_ours": {k: float(v) for k, v in ours_loss.items()},
+    }
+    out["loss_max_abs_diff"] = max(
+        abs(out["loss_components_ref"][k] - out["loss_components_ours"][k])
+        for k in out["loss_components_ref"]
+    )
+    return out
+
+
+def train_parity(
+    epochs=150,
+    annealing_epochs=10,
+    num_coupling_layers=24,
+    intermediate_dims=32,
+    num_layers=6,
+    batch_size=500,
+    batches_per_class=5,
+    lr=1e-4,
+    noise=0.05,
+    seed=0,
+):
+    """Matched-budget training of both implementations on crescents.
+
+    The reference side replicates its driver semantics (TOYcINN.py:249-293)
+    with a manual Adam loop (Keras 3 can't run the 2.x fit pipeline here);
+    data comes from the reference's own generator semantics via numpy.
+    """
+    import tensorflow as tf
+
+    from reference_shim import import_toy_reference
+
+    ref = import_toy_reference()
+
+    # ---- shared data: standardized crescent batches, class-pure ----------
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data import toy_datasets
+
+    ds = toy_datasets.make_moons_dataset(noise=noise)
+
+    def epoch_batches(key):
+        return [
+            np.asarray(b)
+            for b in ds.epoch_iterator(key, batches_per_class, batch_size)
+        ]
+
+    # ---- reference model, manual training loop ---------------------------
+    t0 = time.time()
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    ref_model = ref.cINN_affine(
+        3, 2, num_coupling_layers, intermediate_dims, num_layers,
+        tf.keras.initializers.Orthogonal(0.1), None,
+    )
+    opt = tf.keras.optimizers.Adam(lr)
+    ref_vars = []
+    for cl in ref_model.coupling_layers_list:
+        ref_vars += cl.trainable_variables
+
+    @tf.function
+    def ref_step(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = ref_model.log_loss(xy)
+        grads = tape.gradient(loss, ref_vars)
+        opt.apply_gradients(zip(grads, ref_vars))
+        return loss, lz, ly, ldj
+
+    key = jax.random.PRNGKey(seed + 1)
+    ref_hist = []
+    total = annealing_epochs + epochs
+    for ep in range(total):
+        alpha = ep / annealing_epochs if ep < annealing_epochs else 1.0
+        key, k_ep, k_noise = jax.random.split(key, 3)
+        losses = []
+        for i, b in enumerate(epoch_batches(k_ep)):
+            noisy = b.copy()
+            if alpha < 1.0:
+                eps = np.random.default_rng(ep * 1000 + i).normal(size=(len(b), 2))
+                noisy[:, :2] = alpha * noisy[:, :2] + (1 - alpha) * eps
+            out = ref_step(tf.constant(noisy))
+            losses.append([float(x) for x in out])
+        ref_hist.append(np.mean(losses, axis=0).tolist())
+    ref_seconds = time.time() - t0
+
+    # ---- our model, same budget ------------------------------------------
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ToyCINN,
+        ToyConfig,
+        shuffle_mask_indices,
+    )
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        fit,
+        make_step_fns,
+    )
+
+    t0 = time.time()
+    order = shuffle_mask_indices(np.random.default_rng(seed), num_coupling_layers)
+    cfg = ToyConfig(
+        num_coupling_layers=num_coupling_layers,
+        intermediate_dims=intermediate_dims,
+        num_layers=num_layers,
+        mask_indices=order,
+    )
+    ours = ToyCINN(cfg)
+    state = create_train_state(ours, jnp.zeros((2, 3)), lr, seed=seed)
+    train_step, _ = make_step_fns(ours, noise_mode="x_only", x_d=2)
+    res = fit(
+        state,
+        train_step,
+        lambda k, e: ds.epoch_iterator(k, batches_per_class, batch_size),
+        key=jax.random.PRNGKey(seed + 1),
+        num_epochs=epochs,
+        num_annealing_epochs=annealing_epochs,
+        patience=None,
+        verbose=False,
+    )
+    ours_seconds = time.time() - t0
+    ours_final = {
+        k: float(v)
+        for k, v in res.history.rows[-1].items()
+        if k in ("loss", "z_loss", "y_loss", "detJ_loss")
+    }
+
+    return {
+        "config": {
+            "epochs": epochs,
+            "annealing_epochs": annealing_epochs,
+            "num_coupling_layers": num_coupling_layers,
+            "intermediate_dims": intermediate_dims,
+            "num_layers": num_layers,
+            "batch_size": batch_size,
+            "batches_per_class": batches_per_class,
+            "lr": lr,
+        },
+        "reference_final": dict(
+            zip(["loss", "z_loss", "y_loss", "detJ_loss"], ref_hist[-1])
+        ),
+        "ours_final": ours_final,
+        "reference_seconds": round(ref_seconds, 1),
+        "ours_seconds": round(ours_seconds, 1),
+        "reference_last5": [
+            dict(zip(["loss", "z_loss", "y_loss", "detJ_loss"], h))
+            for h in ref_hist[-5:]
+        ],
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    # Parity must be measured in full float32: on TPU the MXU's default
+    # bf16-input matmuls inflate the transplant diff from ~3e-6 to ~2e-2.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from reference_shim import reference_available
+
+    if not reference_available():
+        print("reference checkout not available; skipping")
+        return
+    if mode in ("transplant", "all"):
+        out = transplant()
+        with open(os.path.join(RESULTS_DIR, "toy_transplant.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+    if mode in ("train", "all"):
+        out = train_parity()
+        with open(os.path.join(RESULTS_DIR, "toy_train_parity.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

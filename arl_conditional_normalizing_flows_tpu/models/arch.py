@@ -43,6 +43,11 @@ class ConvFlowConfig:
     # (ops.pallas.affine_coupling). Identical math; single-VMEM-pass with
     # rematerialized backward. Falls back to the jnp path off-TPU.
     use_pallas_coupling: bool = False
+    # Reproduce the reference's ACTUAL grouped-conv runtime behavior (its
+    # per-group Lambda slices late-bind the loop variable, so every group
+    # reads the last group's channels — conv_cINN_base_functions.py:399-404).
+    # Default False = the documented/intended grouped convolution.
+    ref_compat_group_slice: bool = False
 
     def __post_init__(self):
         n = len(self.squeeze_factor_blocks)

@@ -59,6 +59,7 @@ class ConvCouplingLayer(nn.Module):
     layer_norm: bool
     fused_subnet: bool = False
     use_pallas: bool = False
+    ref_compat_group_slice: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -80,6 +81,7 @@ class ConvCouplingLayer(nn.Module):
             ksize=self.ksize,
             dilations=self.dilations,
             layer_norm=self.layer_norm,
+            ref_compat_group_slice=self.ref_compat_group_slice,
             dtype=self.dtype,
         )
         if self.fused_subnet:
@@ -159,6 +161,7 @@ class ConvCFlow(nn.Module):
                         layer_norm=cfg.layer_norm,
                         fused_subnet=cfg.fused_subnet,
                         use_pallas=cfg.use_pallas_coupling,
+                        ref_compat_group_slice=cfg.ref_compat_group_slice,
                         dtype=compute_dtype,
                     )
                 )

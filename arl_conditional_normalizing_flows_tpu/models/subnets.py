@@ -83,11 +83,24 @@ class DenseCouplingNet(nn.Module):
         return a, b
 
 
-def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype):
-    """Reference grouped_convolution (conv_cINN_base_functions.py:364-411):
-    reads the first ``nb_channels`` input channels, splits them into
-    ``cardinality`` groups, convolves each group to ``nb_channels/cardinality``
-    outputs. One XLA conv via feature_group_count."""
+def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
+                  ref_compat=False):
+    """Reference grouped_convolution (conv_cINN_base_functions.py:364-411).
+
+    Intended semantics (and our default): read the first ``nb_channels``
+    input channels, split into ``cardinality`` groups, convolve each group to
+    ``nb_channels/cardinality`` outputs — ONE XLA conv via
+    feature_group_count.
+
+    ``ref_compat=True`` reproduces what the reference ACTUALLY computes at
+    runtime: its per-group ``Lambda(lambda z: z[:, :, :, j*_d:j*_d+_d])``
+    closes over the loop variable ``j`` (conv_cINN_base_functions.py:401),
+    which is late-bound — when the functional model replays, every group
+    slices the LAST group's channels. Equivalent single conv: all group
+    kernels (concatenated on the output axis) applied to input slice
+    ``[(C-1)*_d : C*_d]``. Kernel shapes are identical in both modes, so
+    checkpoints transfer.
+    """
     if cardinality == 1:
         return nn.Conv(
             nb_channels,
@@ -98,13 +111,19 @@ def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype):
             dtype=dtype,
         )(y)
     assert nb_channels % cardinality == 0
-    y = y[..., :nb_channels]
+    if ref_compat:
+        d = nb_channels // cardinality
+        y = y[..., (cardinality - 1) * d : cardinality * d]
+        groups = 1
+    else:
+        y = y[..., :nb_channels]
+        groups = cardinality
     return nn.Conv(
         nb_channels,
         (ksize, ksize),
         padding="SAME",
         kernel_dilation=(dilation, dilation),
-        feature_group_count=cardinality,
+        feature_group_count=groups,
         kernel_init=kinit,
         dtype=dtype,
     )(y)
@@ -121,6 +140,7 @@ class DilatedResidualBlock(nn.Module):
     cardinality: int
     layer_norm: bool
     init_scale: float = 0.1
+    ref_compat_group_slice: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,6 +166,7 @@ class DilatedResidualBlock(nn.Module):
                 self.cardinality,
                 kinit,
                 self.dtype,
+                ref_compat=self.ref_compat_group_slice,
             )
             for d in self.dilations
         ]
@@ -178,6 +199,7 @@ class ConvCouplingNet(nn.Module):
     scale_head: bool = False  # unfused: is this the A (tanh+scale) net?
     n_heads: int = 1  # fused: 2 -> returns (A, b)
     init_scale: float = 0.1
+    ref_compat_group_slice: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -196,6 +218,7 @@ class ConvCouplingNet(nn.Module):
                 cardinality=self.cardinality,
                 layer_norm=self.layer_norm,
                 init_scale=self.init_scale,
+                ref_compat_group_slice=self.ref_compat_group_slice,
                 dtype=self.dtype,
             )(y)
         y = leaky_relu(y)

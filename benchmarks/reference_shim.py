@@ -81,3 +81,19 @@ def import_toy_reference():
     # needed at this level.
     ref.cINN_affine.__call__ = lambda self, u, direction=-1: self.call(u, direction)
     return ref
+
+
+def import_conv_reference():
+    """Import the reference conv model module (conv_cINN_make_model) with
+    compatibility patches: tfp stub, ``np.int`` (removed in numpy>=1.24 but
+    used at conv_cINN_make_model.py:1532), and direct-.call routing."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    install_tfp_stub()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if not hasattr(np, "int"):
+        np.int = int  # noqa: NPY001 — harness-local compat for the reference
+    import conv_cINN_make_model as cref
+
+    cref.cFlow.__call__ = lambda self, uv, direction=-1: self.call(uv, direction)
+    return cref

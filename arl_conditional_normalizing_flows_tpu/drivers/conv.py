@@ -62,6 +62,10 @@ def build_parser():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--eval-samples", type=int, default=64,
+                   help="conditional samples per condition for the final eval")
+    p.add_argument("--plot", action="store_true",
+                   help="write sample-grid / SR-panel PNGs to the outdir")
     return p
 
 
@@ -229,10 +233,92 @@ def main(argv=None):
     if "val_z_loss" in final:
         nll_x = final["val_z_loss"] + final["val_detJ_loss"]
         final["val_bits_per_dim"] = nll_x / (np.log(2.0) * n_x_dims)
+
+    # conditional-sampling eval: draw x | y' and report moment statistics
+    # (the reference only eyeballs this, TOYcINN.py:321-1206)
+    final["sampling"] = _sampling_eval(args, model, res.state.params, val_src, x_d)
+
     with open(os.path.join(args.outdir, "eval.json"), "w") as f:
         json.dump(final, f, indent=2)
     print(json.dumps(final, indent=2))
     return res
+
+
+def _sampling_eval(args, model, params, val_src, x_d):
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data.images import class_labels_01
+    from arl_conditional_normalizing_flows_tpu.evaluation import (
+        sr_residual_block_sums,
+        y_identity_error,
+    )
+    from arl_conditional_normalizing_flows_tpu.sample import (
+        conditional_moments,
+        sample_conditional_images,
+    )
+
+    h, w, xy_d = val_src.xy_shape
+    n = args.eval_samples
+    out = {}
+    if args.model_type == "class":
+        labels = class_labels_01(len(args.data_classes))
+        per_class = {}
+        grids = []
+        for i, c in enumerate(args.data_classes):
+            y_plane = jnp.full((h, w, 1), float(labels[i]), jnp.float32)
+            xs = sample_conditional_images(
+                model, params, jax.random.PRNGKey(500 + i), y_plane, n, x_d,
+                de_logit=args.logits,
+            )
+            m = conditional_moments(xs)
+            per_class[str(c)] = {
+                "pixel_mean": float(jnp.mean(m["mean"])),
+                "pixel_std": float(jnp.mean(m["std"])),
+                "min": float(xs.min()),
+                "max": float(xs.max()),
+            }
+            grids.append(np.asarray(xs[:8]))
+        out["per_class"] = per_class
+        if args.plot:
+            from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+            plots.plot_image_grid(
+                np.concatenate(grids),
+                os.path.join(args.outdir, "class_samples.png"),
+                ncols=8,
+                title="x | class",
+            )
+    else:
+        # SR: condition on a validation low-res plane, sample reconstructions
+        val_batch = np.asarray(next(iter(val_src.epoch(jax.random.PRNGKey(0), 0))))
+        y_img = jnp.asarray(val_batch[0, ..., x_d:])
+        xs = sample_conditional_images(
+            model, params, jax.random.PRNGKey(500), y_img, n, x_d, residual=False,
+        )
+        if args.residual:
+            out["residual_block_sums"] = sr_residual_block_sums(np.asarray(xs))
+            recon = np.asarray(xs) + np.asarray(y_img)[None, ..., :x_d]
+        else:
+            recon = np.asarray(xs)
+        out["recon_pixel_mean"] = float(recon.mean())
+        out["recon_pixel_std"] = float(recon.std())
+        truth = val_batch[0, ..., :x_d] + (
+            val_batch[0, ..., x_d:] if args.residual else 0.0
+        )
+        out["recon_mean_vs_truth_mean"] = [float(recon.mean()), float(truth.mean())]
+        if args.plot:
+            from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+            nshow = min(6, len(recon))
+            plots.plot_sr_comparison(
+                np.repeat(np.asarray(y_img)[None, ..., :1], nshow, 0),
+                recon[:nshow],
+                np.repeat(truth[None, ..., :1], nshow, 0),
+                os.path.join(args.outdir, "sr_panel.png"),
+                n=nshow,
+            )
+    return out
 
 
 def cli():

@@ -47,6 +47,12 @@ def build_parser():
     p.add_argument("--load", default=None, help="npz weights to resume from")
     p.add_argument("--outdir", default="toy_run")
     p.add_argument("--eval-samples", type=int, default=2000)
+    p.add_argument("--plot", action="store_true",
+                   help="write joint/conditional/latent/loss PNGs (the "
+                   "reference's visual harness, TOYcINN.py:321-1206)")
+    p.add_argument("--sweep", type=float, nargs="*", default=None,
+                   help="extra y' values (standardized) for an off-manifold "
+                   "interpolation sweep (TOYcINN.py:1115-1206)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 
@@ -170,6 +176,29 @@ def main(argv=None):
                 "y_identity_mean": float(s[:, cfg.x_d :].mean()),
             }
         report["per_class_moments"] = per_class
+
+    if args.plot:
+        from arl_conditional_normalizing_flows_tpu.evaluation import plots
+        from arl_conditional_normalizing_flows_tpu.sample import sweep_conditions
+
+        plots.plot_loss_curves(history.rows, os.path.join(args.outdir, "loss.png"))
+        if ds is not None:
+            data = ds.epoch_array(jax.random.PRNGKey(3), 2, 500).reshape(-1, 3)
+            plots.plot_toy_joint(data, os.path.join(args.outdir, "data.png"), "data")
+            zy, _ = model.apply(res.state.params, data)
+            plots.plot_latent(zy[..., : cfg.x_d], os.path.join(args.outdir, "latent.png"))
+            conds = [(lab - ds.mean[2]) / ds.std[2] for lab in ds.class_labels]
+            if args.sweep:
+                conds = list(conds) + list(args.sweep)
+            sweeps = sweep_conditions(
+                model, res.state.params, jax.random.PRNGKey(4),
+                np.asarray(conds, np.float32), args.eval_samples, x_d=cfg.x_d,
+            )
+            plots.plot_toy_conditional_grid(
+                [np.asarray(s[:, : cfg.x_d]) for s in sweeps], conds,
+                os.path.join(args.outdir, "conditional.png"),
+            )
+
     with open(os.path.join(args.outdir, "eval.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report.get("final", {}), indent=2))

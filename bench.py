@@ -40,7 +40,10 @@ def main():
         make_step_fns,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    # batch 2048 is the sweet spot on one v5e chip: per-step wall time is
+    # latency-floored (~5-6 ms through the tunnel) up to this size, so
+    # throughput scales ~linearly; >=4096 exceeds the remote compiler.
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
     cfg = ConvFlowConfig(
         io_shape=(28, 28, 2),
         x_d=1,

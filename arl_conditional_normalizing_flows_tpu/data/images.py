@@ -178,6 +178,11 @@ class ClassConditionalSource:
                 x = np.asarray(logitify(jnp.asarray(x), self.logit_a))
             xs.append(x)
             ys.append(np.full((n,), label_values[i], np.float32))
+        assert all(len(x) > 0 for x in xs), (
+            "a class has fewer images than batch_size - it would contribute "
+            "ZERO class-pure batches (per-class truncation, conv_cINN.py:271-304); "
+            f"per-class counts: {[len(x) for x in xs]}, batch_size={self.batch_size}"
+        )
         self._x = np.concatenate(xs)
         self._y = np.concatenate(ys)
         self.num_batches = len(self._x) // self.batch_size
@@ -218,6 +223,10 @@ class SRSource:
     def __post_init__(self):
         xy = np.asarray(preprocess_sr(self.images, self.model_type, self.residual))
         n = (len(xy) // self.batch_size) * self.batch_size
+        assert n > 0, (
+            f"dataset ({len(xy)} examples) smaller than batch_size "
+            f"({self.batch_size}) - zero batches"
+        )
         self._xy = xy[:n]
         self.num_batches = n // self.batch_size
         self.xy_shape = self._xy.shape[1:]

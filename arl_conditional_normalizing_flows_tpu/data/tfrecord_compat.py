@@ -1,0 +1,209 @@
+"""Reader for the reference's original TFRecord dataset files — WITHOUT
+TensorFlow.
+
+Users migrating from the reference bring `.tfrecords` files written by
+create_tfrecords.py:197-250: each record is a protobuf ``Example`` whose
+feature dict is {img: raw float32 bytes, height/width/depth: int64, label:
+raw float32 bytes (one-hot)}.  This module implements just enough of the
+TFRecord framing (length-prefixed records with masked CRC32C) and protobuf
+wire format to decode those files with numpy only, plus a converter to the
+native ``.cnfrec`` format.
+
+TFRecord framing: [8B LE length][4B masked crc of length][data][4B masked crc
+of data].  CRCs are verified when ``verify=True``.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli) — table-driven, for TFRecord frame verification
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c_table():
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = np.zeros(256, np.uint32)
+        for i in range(256):
+            c = np.uint32(i)
+            for _ in range(8):
+                c = np.uint32((c >> np.uint32(1)) ^ (poly if (c & np.uint32(1)) else 0))
+            table[i] = c
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    crc = np.uint32(0xFFFFFFFF)
+    arr = np.frombuffer(data, np.uint8)
+    for b in arr:
+        crc = np.uint32(table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint32(8)))
+    return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+def masked_crc32c(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def iter_tfrecord_frames(path: str, verify: bool = False) -> Iterator[bytes]:
+    """Yield the raw record payloads of a TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            (len_crc,) = struct.unpack("<I", header[8:])
+            data = f.read(length)
+            (data_crc,) = struct.unpack("<I", f.read(4))
+            if verify:
+                assert masked_crc32c(header[:8]) == len_crc, f"{path}: length CRC"
+                assert masked_crc32c(data) == data_crc, f"{path}: data CRC"
+            yield data
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf Example decoding
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: memoryview) -> Iterator[Tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # 32-bit
+            val = bytes(buf[pos : pos + 4])
+            pos += 4
+        elif wire == 1:  # 64-bit
+            val = bytes(buf[pos : pos + 8])
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def parse_example(record: bytes) -> Dict[str, object]:
+    """Decode a tf.train.Example into {name: bytes | int-list | float-list}.
+
+    Message graph: Example{1: Features{1: map<string, Feature>}};
+    Feature{1: BytesList{1: bytes}, 2: FloatList{1: packed floats},
+    3: Int64List{1: packed varints}}.
+    """
+    out: Dict[str, object] = {}
+    for f, w, features in _iter_fields(memoryview(record)):
+        if f != 1 or w != 2:
+            continue
+        for f2, w2, entry in _iter_fields(features):
+            if f2 != 1 or w2 != 2:
+                continue
+            name = None
+            value = None
+            for f3, w3, v3 in _iter_fields(entry):
+                if f3 == 1 and w3 == 2:
+                    name = bytes(v3).decode()
+                elif f3 == 2 and w3 == 2:
+                    value = _parse_feature(v3)
+            if name is not None:
+                out[name] = value
+    return out
+
+
+def _parse_feature(buf: memoryview):
+    """Feature{1: BytesList, 2: FloatList, 3: Int64List} — each of those is
+    itself a message whose field 1 holds the (possibly packed) values."""
+    for f, w, v in _iter_fields(buf):
+        if f == 1 and w == 2:  # BytesList{1: bytes}
+            for f2, w2, v2 in _iter_fields(v):
+                if f2 == 1 and w2 == 2:
+                    return bytes(v2)
+        elif f == 2 and w == 2:  # FloatList{1: repeated float}
+            floats: List[float] = []
+            for f2, w2, v2 in _iter_fields(v):
+                if f2 == 1 and w2 == 2:  # packed
+                    floats.extend(np.frombuffer(bytes(v2), np.float32).tolist())
+                elif f2 == 1 and w2 == 5:  # unpacked single
+                    floats.append(struct.unpack("<f", v2)[0])
+            return np.asarray(floats, np.float32)
+        elif f == 3 and w == 2:  # Int64List{1: repeated int64}
+            ints: List[int] = []
+            for f2, w2, v2 in _iter_fields(v):
+                if f2 == 1 and w2 == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v2):
+                        x, pos = _read_varint(v2, pos)
+                        ints.append(x)
+                elif f2 == 1 and w2 == 0:  # unpacked varint
+                    ints.append(v2)
+            return ints
+    return None
+
+
+# ---------------------------------------------------------------------------
+# reference-format dataset reading
+# ---------------------------------------------------------------------------
+
+
+def read_reference_tfrecords(path: str, verify: bool = False):
+    """Read one of the reference's image TFRecord files
+    (create_tfrecords.py:197-250) into (images (N,H,W,D) float32,
+    labels (N, num_classes) float32 one-hot)."""
+    imgs: List[np.ndarray] = []
+    labels: List[np.ndarray] = []
+    for rec in iter_tfrecord_frames(path, verify=verify):
+        ex = parse_example(rec)
+        h = int(ex["height"][0])
+        w = int(ex["width"][0])
+        d = int(ex["depth"][0])
+        img = np.frombuffer(ex["img"], np.float32).reshape(h, w, d)
+        imgs.append(img)
+        lab = ex.get("label")
+        if isinstance(lab, bytes):
+            lab = np.frombuffer(lab, np.float32)
+        labels.append(np.asarray(lab, np.float32) if lab is not None else np.zeros(0))
+    return np.stack(imgs), np.stack(labels)
+
+
+def convert_to_cnfrec(tfrecord_path: str, out_path: str, verify: bool = True):
+    """Convert a reference TFRecord file to the native .cnfrec format."""
+    from arl_conditional_normalizing_flows_tpu.data import records
+
+    imgs, labels = read_reference_tfrecords(tfrecord_path, verify=verify)
+    label = None
+    if labels.size and labels.shape[1] > 0:
+        hot = labels.argmax(axis=1)
+        if np.all(hot == hot[0]) and np.all(labels.sum(axis=1) == 1):
+            label = int(hot[0])
+    records.write_records(out_path, imgs, label=label)
+    return imgs.shape

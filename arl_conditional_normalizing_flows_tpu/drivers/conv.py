@@ -26,6 +26,8 @@ def build_parser():
     p.add_argument("--model-type", default="class", choices=["class", "SR4,2", "SR2,1"],
                    help="conv_cINN.py:28-30")
     p.add_argument("--dataset", default="mnist", choices=["mnist", "fashion_mnist", "synthetic"])
+    p.add_argument("--synthetic-per-class", type=int, default=512,
+                   help="train images per class for the synthetic dataset")
     p.add_argument("--data-classes", type=int, nargs="*", default=[0, 1, 2, 3],
                    help="conv_cINN.py:37")
     p.add_argument("--records-dir", default=None,
@@ -78,7 +80,7 @@ def load_arrays(args, split):
     if args.records_dir:
         return load_from_records(args, split)
     if args.dataset == "synthetic":
-        n = 128 if split == "train" else 32
+        n = args.synthetic_per_class if split == "train" else max(32, args.synthetic_per_class // 4)
         return synthetic_digits(num_per_class=n, seed=0 if split == "train" else 1)
     return load_image_dataset(args.dataset, split)
 

@@ -54,7 +54,7 @@ def test_conv_driver_tiny_class(tmp_path):
     res = conv.main(
         [
             "--model-type", "class",
-            "--dataset", "synthetic",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
             "--data-classes", "0", "1",
             "--squeeze-factor", "0", "1",
             "--res-blocks", "1", "1",
@@ -80,7 +80,7 @@ def test_conv_driver_tiny_sr(tmp_path):
     conv.main(
         [
             "--model-type", "SR2,1",
-            "--dataset", "synthetic",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
             "--squeeze-factor", "0", "1",
             "--res-blocks", "1", "1",
             "--kernels", "16", "16",
@@ -138,7 +138,7 @@ def test_conv_driver_warm_start_from_pretrain(tmp_path):
     conv.main(
         [
             "--model-type", "class",
-            "--dataset", "synthetic",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
             "--data-classes", "0", "1",
             "--squeeze-factor", "0", "1",
             "--res-blocks", "1", "1",

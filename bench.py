@@ -44,16 +44,19 @@ def main():
     # latency-floored (~5-6 ms through the tunnel) up to this size, so
     # throughput scales ~linearly; >=4096 exceeds the remote compiler.
     batch = int(os.environ.get("BENCH_BATCH", 2048))
+    if os.environ.get("BENCH_ARCH") == "small":  # fast validation arch
+        arch = dict(io_shape=(8, 8, 2), squeeze_factor_blocks=(0, 1),
+                    res_blocks=(1, 1), num_kernels=(16, 16), cardinality=(2, 2))
+    else:
+        arch = dict(io_shape=(28, 28, 2), squeeze_factor_blocks=(0, 1, 0, 0),
+                    res_blocks=(3, 3, 3, 3), num_kernels=(64, 64, 32, 32),
+                    cardinality=(8, 8, 4, 4))
     cfg = ConvFlowConfig(
-        io_shape=(28, 28, 2),
         x_d=1,
-        squeeze_factor_blocks=(0, 1, 0, 0),
-        res_blocks=(3, 3, 3, 3),
-        num_kernels=(64, 64, 32, 32),
-        cardinality=(8, 8, 4, 4),
         ksize=3,
         fused_subnet=os.environ.get("BENCH_FUSED", "1") == "1",
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        **arch,
     )
     model = ConvCFlow(cfg)
     rng = np.random.default_rng(0)
@@ -84,10 +87,39 @@ def main():
     sample_fn = jax.jit(
         lambda params, z, y: model.apply(params, z, y, method="sample_xy")
     )
-    z = jnp.asarray(rng.normal(size=(batch, 28, 28, 1)), jnp.float32)
-    y = jnp.ones((batch, 28, 28, 1), jnp.float32) * 0.5
+    hh, ww, _ = cfg.io_shape
+    z = jnp.asarray(rng.normal(size=(batch, hh, ww, 1)), jnp.float32)
+    y = jnp.ones((batch, hh, ww, 1), jnp.float32) * 0.5
     dt_s = _bench(lambda: sample_fn(state2.params, z, y), warmup=2, iters=20)
     sample_sps = batch / dt_s
+
+    # multi-chip: report DP-sharded throughput too when a mesh is available
+    dp = None
+    if len(jax.devices()) > 1:
+        try:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            n = len(jax.devices())
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            dp_step, _ = make_step_fns(model, mesh=mesh)
+            repl = NamedSharding(mesh, P())
+            state_dp = jax.device_put(state2, repl)
+            xy_dp = jax.device_put(xy, NamedSharding(mesh, P("data")))
+            key_dp = jax.device_put(key, repl)
+
+            def run_dp(xy_dp):
+                nonlocal state_dp
+                state_dp, out = dp_step(state_dp, xy_dp, key_dp, alpha)
+                return out["loss"]
+
+            dt_dp = _bench(run_dp, xy_dp, warmup=3, iters=20)
+            dp = {
+                "devices": n,
+                "train_samples_per_sec": round(batch / dt_dp, 1),
+                "scaling_efficiency": round((batch / dt_dp) / (train_sps * n), 3),
+            }
+        except Exception as e:  # never let the multi-chip path break the bench
+            dp = {"error": str(e)[:200]}
 
     platform = jax.devices()[0].platform
     detail = {
@@ -101,6 +133,7 @@ def main():
         "samples_per_sec": round(sample_sps, 1),
         "dtype": cfg.compute_dtype,
         "fused_subnet": cfg.fused_subnet,
+        "data_parallel": dp,
     }
     print(json.dumps(detail), file=sys.stderr)
 

@@ -153,3 +153,33 @@ def test_conv_driver_warm_start_from_pretrain(tmp_path):
         ]
     )
     assert os.path.exists(os.path.join(out, "eval.json"))
+
+
+def test_toy_driver_continuous_sectors(tmp_path):
+    """The continuous-condition path (ds=None branch): trains on freshly
+    generated sector batches (TOYcINN_make_datasets.py:1114-1205)."""
+    from arl_conditional_normalizing_flows_tpu.drivers import toy
+
+    out = str(tmp_path / "sectors")
+    toy.main(
+        [
+            "--dataset", "continuous_sectors",
+            "--coupling-blocks", "1",
+            "--intermediate-dims", "8",
+            "--num-layers", "1",
+            "--batch-size", "64",
+            "--batches-per-class", "2",
+            "--epochs", "2",
+            "--annealing-epochs", "0",
+            "--eval-samples", "32",
+            "--outdir", out,
+        ]
+    )
+    import json, os
+
+    with open(os.path.join(out, "eval.json")) as f:
+        report = json.load(f)
+    assert "per_class_moments" not in report  # continuous: no class sweep
+    import numpy as np
+
+    assert np.isfinite(report["final"]["loss"])

@@ -22,6 +22,9 @@ def build_parser():
     p.add_argument("--outdir", required=True)
     p.add_argument("--verify", action="store_true", default=True)
     p.add_argument("--no-verify", dest="verify", action="store_false")
+    p.add_argument("--plot", action="store_true",
+                   help="write a decoded-image verification grid per file "
+                   "(the reference's visual verify, create_tfrecords.py:366-400)")
     return p
 
 
@@ -50,6 +53,15 @@ def main(argv=None):
     if args.verify:
         report = verify_records(written)
         print(json.dumps({k: {**v, "shape": list(v["shape"])} for k, v in report.items()}, indent=2))
+    if args.plot:
+        from arl_conditional_normalizing_flows_tpu.data.records import read_records
+        from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+        for path in written:
+            arr = read_records(path)
+            plots.plot_image_grid(
+                arr[:8], path + ".png", ncols=8, title=path.rsplit("/", 1)[-1]
+            )
     return written
 
 

@@ -157,6 +157,23 @@ def fit(
     stopped = False
     epoch = initial_epoch
     total = num_annealing_epochs + num_epochs
+    # failure detection: the reference has none (SURVEY.md §5) — a NaN loss
+    # there just corrupts the rest of the run. Here a non-finite epoch loss
+    # stops training and restores the best-seen params when available.
+    import math as _math
+
+    def _nan_guard(row, state):
+        if _math.isfinite(row["loss"]):
+            return state, False
+        best = stopper.best_state if stopper is not None else None
+        if best is not None:
+            state = state.replace(params=best)
+        print(
+            f"fit: non-finite loss at epoch {epoch} — stopping"
+            + (" and restoring best params" if best is not None else ""),
+            flush=True,
+        )
+        return state, True
 
     for epoch in range(initial_epoch, total):
         if epoch < num_annealing_epochs:
@@ -190,6 +207,11 @@ def fit(
         if verbose:
             msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
             print(f"epoch {epoch}: {msg}", flush=True)
+
+        state, failed = _nan_guard(row, state)
+        if failed:
+            stopped = True
+            break
 
         if checkpoint_fn is not None and checkpoint_every and (
             (epoch + 1) % checkpoint_every == 0

@@ -183,3 +183,38 @@ def test_toy_driver_continuous_sectors(tmp_path):
     import numpy as np
 
     assert np.isfinite(report["final"]["loss"])
+
+
+def test_cnf_eval_on_checkpoint(tmp_path):
+    """Train tiny -> evaluate the checkpoint standalone (cnf-eval)."""
+    from arl_conditional_normalizing_flows_tpu.drivers import conv, evaluate
+
+    out = str(tmp_path / "train")
+    conv.main(
+        [
+            "--model-type", "class",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
+            "--data-classes", "0", "1",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "1",
+            "--annealing-epochs", "0",
+            "--checkpoint-every", "0",
+            "--outdir", out,
+        ]
+    )
+    report = evaluate.main(
+        [
+            "--checkpoint-dir", os.path.join(out, "checkpoints"),
+            "--model-type", "class",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
+            "--data-classes", "0", "1",
+            "--batch-size", "16",
+            "--eval-samples", "8",
+        ]
+    )
+    assert np.isfinite(report["bits_per_dim"])
+    assert "latent_normality" in report and "sampling" in report

@@ -218,3 +218,30 @@ def test_cnf_eval_on_checkpoint(tmp_path):
     )
     assert np.isfinite(report["bits_per_dim"])
     assert "latent_normality" in report and "sampling" in report
+
+
+def test_conv_driver_data_parallel(tmp_path):
+    """--data-parallel path: mesh creation + sharded batches through fit."""
+    from arl_conditional_normalizing_flows_tpu.drivers import conv
+
+    out = str(tmp_path / "dp")
+    conv.main(
+        [
+            "--model-type", "class",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
+            "--data-classes", "0", "1",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "1",
+            "--annealing-epochs", "0",
+            "--checkpoint-every", "0",
+            "--data-parallel",
+            "--outdir", out,
+        ]
+    )
+    with open(os.path.join(out, "eval.json")) as f:
+        final = json.load(f)
+    assert np.isfinite(final["loss"])

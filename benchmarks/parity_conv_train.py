@@ -1,0 +1,149 @@
+"""Conv-model matched-budget training parity on the noise pre-training task.
+
+Both implementations train a small conv cFlow on pure N(0,1) xy data
+(the conv_pre_training_cINN_on_noise.py objective — data distribution is
+identical by construction, so final losses are directly comparable), same
+arch / Adam lr / batch size / epoch budget.
+
+Run: python benchmarks/parity_conv_train.py [epochs] [impl: ours|reference|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+IO_SHAPE = (8, 8, 2)
+SF, NRB, NK, CARD = (0, 1), (1, 1), (16, 16), (2, 2)
+BATCH = 64
+BATCHES_PER_EPOCH = 10
+LR = 3e-4
+
+
+def run_ours(epochs, seed=0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        fit,
+        make_step_fns,
+        noise_batches,
+    )
+
+    cfg = ConvFlowConfig(
+        io_shape=IO_SHAPE, x_d=1, squeeze_factor_blocks=SF, res_blocks=NRB,
+        num_kernels=NK, cardinality=CARD, ksize=3,
+        # compare against what the reference ACTUALLY computes
+        ref_compat_group_slice=True,
+    )
+    model = ConvCFlow(cfg)
+    state = create_train_state(model, jnp.zeros((1,) + IO_SHAPE), LR, seed=seed)
+    step, _ = make_step_fns(model, noise_mode="none")
+    t0 = time.time()
+    res = fit(
+        state, step,
+        lambda k, e: noise_batches(k, BATCHES_PER_EPOCH, BATCH, IO_SHAPE),
+        key=jax.random.PRNGKey(seed + 1), num_epochs=epochs, patience=None,
+        verbose=False,
+    )
+    rows = res.history.rows
+    return {
+        "impl": "ours",
+        "epochs": epochs,
+        "seconds": round(time.time() - t0, 1),
+        "final_loss": round(rows[-1]["loss"], 3),
+        "best_loss": round(min(r["loss"] for r in rows), 3),
+        "final_components": {
+            k: round(rows[-1][k], 3) for k in ("z_loss", "y_loss", "detJ_loss")
+        },
+    }
+
+
+def run_reference(epochs, seed=0):
+    import tensorflow as tf
+
+    from reference_shim import import_conv_reference
+
+    cref = import_conv_reference()
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = cref.cFlow(
+        io_shape=list(IO_SHAPE), x_d=1, squeeze_factor_block_list=list(SF),
+        ResNeXt_block_list=list(NRB), num_kernels_list=list(NK),
+        cardinality_list=list(CARD), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=False,
+    )
+    opt = tf.keras.optimizers.Adam(LR)
+    var = []
+    for l in m.layers_list:
+        if isinstance(l, cref.coupling_layer):
+            var += l.model_A.trainable_variables + l.model_b.trainable_variables
+
+    @tf.function
+    def step(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss, lz, ly, ldj
+
+    rng = np.random.default_rng(seed + 1)
+    hist = []
+    t0 = time.time()
+    for ep in range(epochs):
+        losses = []
+        for _ in range(BATCHES_PER_EPOCH):
+            xy = rng.normal(size=(BATCH,) + IO_SHAPE).astype(np.float32)
+            losses.append([float(x) for x in step(tf.constant(xy))])
+        hist.append(np.mean(losses, axis=0))
+    hist = np.asarray(hist)
+    return {
+        "impl": "reference",
+        "epochs": epochs,
+        "seconds": round(time.time() - t0, 1),
+        "final_loss": round(float(hist[-1, 0]), 3),
+        "best_loss": round(float(hist[:, 0].min()), 3),
+        "final_components": {
+            "z_loss": round(float(hist[-1, 1]), 3),
+            "y_loss": round(float(hist[-1, 2]), 3),
+            "detJ_loss": round(float(hist[-1, 3]), 3),
+        },
+    }
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    out = {}
+    if which in ("ours", "all"):
+        out["ours"] = run_ours(epochs)
+        print(json.dumps(out["ours"]), flush=True)
+    if which in ("reference", "all"):
+        out["reference"] = run_reference(epochs)
+        print(json.dumps(out["reference"]), flush=True)
+    path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update(out)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ from arl_conditional_normalizing_flows_tpu.train.loop import (  # noqa: F401
     TrainState,
     create_train_state,
     fit,
+    make_scan_train_step,
     make_step_fns,
     noise_batches,
 )

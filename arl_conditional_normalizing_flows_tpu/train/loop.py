@@ -108,6 +108,66 @@ def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int]
     return train_step, eval_step
 
 
+def make_scan_train_step(
+    model,
+    num_inner: int,
+    mesh=None,
+    noise_mode: str = "full",
+    x_d: Optional[int] = None,
+):
+    """A multi-step train function: ``num_inner`` optimizer steps fused into
+    ONE XLA program via ``lax.scan``.
+
+    Per-step dispatch costs a fixed host->device latency (~4-6 ms through
+    this environment's TPU tunnel; microseconds on a local chip but still
+    nonzero). Scanning amortizes it to once per ``num_inner`` steps — the
+    idiomatic TPU pattern for small models where launch latency, not compute,
+    bounds throughput.
+
+    Signature: ``(state, xy_stack, key, alpha) -> (state, mean_metrics)``
+    with ``xy_stack`` shaped ``(num_inner, batch, ...)``. Metrics are averaged
+    over the inner steps.
+    """
+
+    def add_noise(key, xy, alpha):
+        if noise_mode == "none":
+            return xy
+        if noise_mode == "x_only":
+            return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
+        return noise_ops.instance_noise(key, xy, alpha)
+
+    def loss_fn(params, xy):
+        out = model.apply(params, xy, method="log_loss")
+        return out["loss"], out
+
+    def _multi_step(state, xy_stack, key, alpha):
+        def body(carry, xy):
+            state, key = carry
+            key, k = jax.random.split(key)
+            xy = add_noise(k, xy, alpha)
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, xy
+            )
+            state = state.apply_gradients(grads=grads)
+            return (state, key), out
+
+        (state, _), outs = jax.lax.scan(body, (state, key), xy_stack)
+        return state, jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), outs)
+
+    if mesh is None:
+        return jax.jit(_multi_step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(None, "data"))  # (inner, batch, ...)
+    return jax.jit(
+        _multi_step,
+        in_shardings=(repl, batch, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def noise_batches(key, num_batches, batch_size, shape, dtype=jnp.float32):
     """Data source for noise pre-training: fresh N(0,1) xy batches every epoch
     (conv_pre_training_cINN_on_noise.py:100-115)."""

@@ -12,7 +12,7 @@ Two checks (results written to benchmarks/results/):
    matched budget (same arch, Adam lr, batch size, annealing schedule) and
    record the final joint-NLL components for PARITY.md.
 
-Run:  python benchmarks/parity_toy.py [transplant|train|all]
+Run:  python benchmarks/parity_toy.py [transplant|train|sample|all]
 Requires the read-only reference checkout (see reference_shim.REFERENCE_PATH).
 """
 
@@ -266,6 +266,106 @@ def train_parity(
     }
 
 
+
+def sample_parity(epochs=120, num_samples=4000, seed=0):
+    """Conditional-sample moment parity: train the reference to (near)
+    convergence, transplant the trained weights into our model, then sample
+    x | y from BOTH implementations' inverse paths and compare per-class
+    moments against each other and against the data distribution.
+
+    The reference's inverse uses a tf.linalg.inv linear solve per layer
+    (TOYcINN_make_model.py:373); ours is the closed-form elementwise
+    reciprocal — this check shows they produce statistically identical
+    conditional samples from the same trained weights.
+    """
+    import tensorflow as tf
+
+    from reference_shim import import_toy_reference
+
+    ref = import_toy_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data import toy_datasets
+    from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
+    from arl_conditional_normalizing_flows_tpu.sample import sample_conditional
+
+    ds = toy_datasets.make_moons_dataset(noise=0.05)
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = ref.cINN_affine(3, 2, 24, 32, 6, tf.keras.initializers.Orthogonal(0.1), None)
+    opt = tf.keras.optimizers.Adam(1e-4)
+    var = []
+    for cl in m.coupling_layers_list:
+        var += cl.trainable_variables
+
+    @tf.function
+    def step(xy):
+        with tf.GradientTape() as tape:
+            loss, *_ = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss
+
+    key = jax.random.PRNGKey(seed + 1)
+    for ep in range(epochs):
+        alpha = ep / 10 if ep < 10 else 1.0
+        key, k_ep = jax.random.split(key)
+        for i, b in enumerate(ds.epoch_iterator(k_ep, 5, 500)):
+            b = np.asarray(b)
+            if alpha < 1.0:
+                eps = np.random.default_rng(ep * 100 + i).normal(size=(len(b), 2))
+                b = b.copy()
+                b[:, :2] = alpha * b[:, :2] + (1 - alpha) * eps
+            step(tf.constant(b))
+
+    # transplant trained weights into ours
+    order = tuple(int(i) for i in m.mask_indices)
+    cfg = ToyConfig(
+        num_coupling_layers=24, intermediate_dims=32, num_layers=6,
+        mask_indices=order,
+    )
+    ours = ToyCINN(cfg)
+    params = ours.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    p = dict(params["params"])
+    for j in range(24):
+        denses = _ref_dense_layers(m.coupling_layers_list[j])
+        ol = dict(p[f"couplings_{j}"])
+        for k, dense in enumerate(denses):
+            kern, bias = dense.get_weights()
+            ol[f"Dense_{k}"] = {"kernel": jnp.asarray(kern), "bias": jnp.asarray(bias)}
+        p[f"couplings_{j}"] = ol
+    params = {"params": p}
+
+    out = {"per_class": {}}
+    for ci, lab in enumerate(ds.class_labels):
+        lab_std = float((lab - ds.mean[2]) / ds.std[2])
+        # reference sampling path: z ~ N(0,1), concat y', direction +1
+        z = np.random.default_rng(1000 + ci).normal(size=(num_samples, 2)).astype(np.float32)
+        zy = np.concatenate([z, np.full((num_samples, 1), lab_std, np.float32)], 1)
+        x_ref, _ = m(tf.constant(zy), 1)
+        x_ref = np.asarray(x_ref)[:, :2]
+        # ours
+        s = sample_conditional(
+            ours, params, jax.random.PRNGKey(2000 + ci), lab_std, num_samples, x_d=2
+        )
+        x_ours = np.asarray(s[:, :2])
+        truth = np.asarray(
+            ds.sample_class_batch(jax.random.PRNGKey(3000 + ci), ci, num_samples)
+        )[:, :2]
+        mc_se = truth.std(0) / np.sqrt(num_samples)
+        out["per_class"][str(lab)] = {
+            "ref_mean": x_ref.mean(0).tolist(),
+            "ours_mean": x_ours.mean(0).tolist(),
+            "truth_mean": truth.mean(0).tolist(),
+            "ref_std": x_ref.std(0).tolist(),
+            "ours_std": x_ours.std(0).tolist(),
+            "truth_std": truth.std(0).tolist(),
+            "impl_mean_diff_over_mc_se": (np.abs(x_ref.mean(0) - x_ours.mean(0)) / mc_se).tolist(),
+            "ours_vs_truth_mean_diff_over_mc_se": (np.abs(x_ours.mean(0) - truth.mean(0)) / mc_se).tolist(),
+        }
+    return out
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     os.makedirs(RESULTS_DIR, exist_ok=True)
@@ -287,6 +387,11 @@ def main():
     if mode in ("train", "all"):
         out = train_parity()
         with open(os.path.join(RESULTS_DIR, "toy_train_parity.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+    if mode in ("sample", "all"):
+        out = sample_parity()
+        with open(os.path.join(RESULTS_DIR, "toy_sample_parity.json"), "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out, indent=2))
 

@@ -45,3 +45,53 @@ def test_early_stopping_restores_best():
     if res.stopped_early:
         # the restored params give a loss no worse than the best logged + noise
         assert res.completed_epochs < 46
+
+
+def test_scan_train_step_matches_sequential():
+    """num_inner scanned steps == the same steps taken one by one."""
+    from arl_conditional_normalizing_flows_tpu.train import make_scan_train_step
+
+    model = ToyCINN(CFG)
+    xy = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(5)
+    alpha = jnp.float32(1.0)
+
+    state_a = create_train_state(model, xy[0, :1], 1e-3, seed=0)
+    step, _ = make_step_fns(model, noise_mode="none")
+    outs = []
+    for i in range(4):
+        state_a, out = step(state_a, xy[i], key, alpha)  # noise off: key unused
+        outs.append(float(out["loss"]))
+
+    state_b = create_train_state(model, xy[0, :1], 1e-3, seed=0)
+    multi = make_scan_train_step(model, num_inner=4, noise_mode="none")
+    state_b, mean_out = multi(state_b, xy, key, alpha)
+
+    np.testing.assert_allclose(float(mean_out["loss"]), np.mean(outs), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_scan_train_step_sharded():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from arl_conditional_normalizing_flows_tpu.parallel import make_mesh
+    from arl_conditional_normalizing_flows_tpu.train import make_scan_train_step
+
+    mesh = make_mesh()
+    model = ToyCINN(CFG)
+    xy = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 3)).astype(np.float32)
+    )
+    state = create_train_state(model, xy[0, :1], 1e-3)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    multi = make_scan_train_step(model, num_inner=2, mesh=mesh, noise_mode="none")
+    xy_s = jax.device_put(xy, NamedSharding(mesh, P(None, "data")))
+    key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
+    state, out = multi(state, xy_s, key, jnp.float32(1.0))
+    assert np.isfinite(float(out["loss"]))

@@ -124,6 +124,127 @@ def run_reference(epochs, seed=0):
     }
 
 
+
+def run_image_parity(epochs=40, seed=0, size=8):
+    """Matched-budget CLASS-CONDITIONAL image training on identical data:
+    synthetic digits (2 classes), logit transform, label plane, class-pure
+    batches, 2% noise floor — the full C19 pipeline semantics — trained by
+    both implementations on the byte-identical batch stream."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tensorflow as tf
+
+    from reference_shim import import_conv_reference
+
+    cref = import_conv_reference()
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+        synthetic_digits,
+    )
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        fit,
+        make_step_fns,
+    )
+
+    imgs, labels = synthetic_digits(num_per_class=128, num_classes=2, size=size)
+    src = ClassConditionalSource(imgs, labels, [0, 1], BATCH, use_logits=True)
+    h, w, xy_d = src.xy_shape
+
+    # pre-generate the SAME epoch batch streams for both implementations
+    streams = []
+    key = jax.random.PRNGKey(seed + 7)
+    for ep in range(epochs):
+        key, k = jax.random.split(key)
+        streams.append([np.asarray(b) for b in src.epoch(k, ep)])
+    anneal = 10
+
+    def alpha_of(ep):
+        return ep / anneal if ep < anneal else 1.0
+
+    def noisy(ep, i, b):
+        a = alpha_of(ep)
+        if a >= 1.0:
+            return b
+        eps = np.random.default_rng(ep * 1000 + i).normal(size=b.shape)
+        return (a * b + (1 - a) * eps).astype(np.float32)
+
+    # ---- reference --------------------------------------------------------
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = cref.cFlow(
+        io_shape=[h, w, xy_d], x_d=1, squeeze_factor_block_list=list(SF),
+        ResNeXt_block_list=list(NRB), num_kernels_list=list(NK),
+        cardinality_list=list(CARD), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=False,
+    )
+    opt = tf.keras.optimizers.Adam(LR)
+    var = []
+    for l in m.layers_list:
+        if isinstance(l, cref.coupling_layer):
+            var += l.model_A.trainable_variables + l.model_b.trainable_variables
+
+    @tf.function
+    def rstep(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss, lz, ly, ldj
+
+    t0 = time.time()
+    ref_hist = []
+    for ep in range(epochs):
+        losses = [
+            [float(x) for x in rstep(tf.constant(noisy(ep, i, b)))]
+            for i, b in enumerate(streams[ep])
+        ]
+        ref_hist.append(np.mean(losses, axis=0))
+    ref_secs = time.time() - t0
+    ref_hist = np.asarray(ref_hist)
+
+    # ---- ours (ref-compat grouped conv, identical batches) ---------------
+    cfg = ConvFlowConfig(
+        io_shape=(h, w, xy_d), x_d=1, squeeze_factor_blocks=SF, res_blocks=NRB,
+        num_kernels=NK, cardinality=CARD, ksize=3, ref_compat_group_slice=True,
+    )
+    model = ConvCFlow(cfg)
+    state = create_train_state(model, jnp.zeros((1, h, w, xy_d)), LR, seed=seed)
+    step, _ = make_step_fns(model, noise_mode="none")
+    t0 = time.time()
+    ours_hist = []
+    kdummy = jax.random.PRNGKey(0)
+    for ep in range(epochs):
+        vals = []
+        for i, b in enumerate(streams[ep]):
+            state, out = step(state, jnp.asarray(noisy(ep, i, b)), kdummy,
+                              jnp.float32(1.0))
+            vals.append([float(out[k]) for k in ("loss", "z_loss", "y_loss", "detJ_loss")])
+        ours_hist.append(np.mean(vals, axis=0))
+    ours_secs = time.time() - t0
+    ours_hist = np.asarray(ours_hist)
+
+    names = ["loss", "z_loss", "y_loss", "detJ_loss"]
+    return {
+        "task": f"class-conditional {size}x{size} synthetic, identical batches",
+        "epochs": epochs,
+        "reference": {
+            "final": dict(zip(names, np.round(ref_hist[-1], 3).tolist())),
+            "best_loss": round(float(ref_hist[:, 0].min()), 3),
+            "seconds": round(ref_secs, 1),
+        },
+        "ours": {
+            "final": dict(zip(names, np.round(ours_hist[-1], 3).tolist())),
+            "best_loss": round(float(ours_hist[:, 0].min()), 3),
+            "seconds": round(ours_secs, 1),
+        },
+    }
+
+
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -135,6 +256,9 @@ def main():
     if which in ("reference", "all"):
         out["reference"] = run_reference(epochs)
         print(json.dumps(out["reference"]), flush=True)
+    if which in ("image",):
+        out["image"] = run_image_parity(epochs)
+        print(json.dumps(out["image"], indent=2), flush=True)
     path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
     existing = {}
     if os.path.exists(path):

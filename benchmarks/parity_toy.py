@@ -73,9 +73,6 @@ def transplant(num_coupling_layers=12, intermediate_dims=16, num_layers=2, batch
     params = ours.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
 
     # copy reference weights into our tree
-    import flax
-
-    p = flax.core.unfreeze(params)["params"] if hasattr(params, "unfreeze") else dict(params["params"])
     p = dict(params["params"])
     for j in range(num_coupling_layers):
         denses = _ref_dense_layers(ref_model.coupling_layers_list[j])

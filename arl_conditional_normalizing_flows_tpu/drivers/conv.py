@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true",
                    help="one two-headed A/b trunk per coupling (TPU perf option)")
+    p.add_argument("--fuse-dilated", action="store_true",
+                   help="one masked dense conv for all dilated branches "
+                   "(TPU perf option, docs/PERF_NOTES.md)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas coupling kernels")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -182,6 +185,7 @@ def main(argv=None):
         fused_subnet=args.fused_subnet,
         compute_dtype=args.dtype,
         use_pallas_coupling=args.pallas,
+        fuse_dilated_conv=args.fuse_dilated,
     )
     model = ConvCFlow(cfg)
     print("arch:", arch_string(cfg))

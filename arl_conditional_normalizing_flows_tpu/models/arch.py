@@ -48,6 +48,11 @@ class ConvFlowConfig:
     # reads the last group's channels — conv_cINN_base_functions.py:399-404).
     # Default False = the documented/intended grouped convolution.
     ref_compat_group_slice: bool = False
+    # Compute all parallel dilated grouped branches with one masked dense
+    # conv (same connectivity / function class; ~3x nominal FLOPs but one
+    # MXU-efficient op instead of dilations x cardinality tiny convs —
+    # docs/PERF_NOTES.md). Ignored when a block has a single dilation.
+    fuse_dilated_conv: bool = False
 
     def __post_init__(self):
         n = len(self.squeeze_factor_blocks)

@@ -60,6 +60,7 @@ class ConvCouplingLayer(nn.Module):
     fused_subnet: bool = False
     use_pallas: bool = False
     ref_compat_group_slice: bool = False
+    fuse_dilated_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -82,6 +83,7 @@ class ConvCouplingLayer(nn.Module):
             dilations=self.dilations,
             layer_norm=self.layer_norm,
             ref_compat_group_slice=self.ref_compat_group_slice,
+            fuse_dilated_conv=self.fuse_dilated_conv,
             dtype=self.dtype,
         )
         if self.fused_subnet:
@@ -162,6 +164,7 @@ class ConvCFlow(nn.Module):
                         fused_subnet=cfg.fused_subnet,
                         use_pallas=cfg.use_pallas_coupling,
                         ref_compat_group_slice=cfg.ref_compat_group_slice,
+                        fuse_dilated_conv=cfg.fuse_dilated_conv,
                         dtype=compute_dtype,
                     )
                 )

@@ -129,10 +129,49 @@ def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
     )(y)
 
 
+def _dilated_branch_mask(ksize, dilations, cardinality, nb_channels):
+    """Connectivity mask for the fused dilated-branch conv.
+
+    A dilation-d k x k kernel is a sparse (d(k-1)+1)-extent dense kernel.
+    One dense conv with this 0/1 mask applied to its kernel computes ALL
+    parallel branches (each with its grouped connectivity and the
+    first-``nb/d``-input-channels slice) in a single MXU-efficient op.
+    Returns (mask (K,K,Cin,Cout_total), K) with branch outputs concatenated
+    in dilation order — matching the branch-list implementation exactly.
+    """
+    import numpy as _np
+
+    dmax = max(dilations)
+    K = (ksize - 1) * dmax + 1
+    cin = nb_channels
+    widths = [nb_channels // d for d in dilations]
+    cout = sum(widths)
+    mask = _np.zeros((K, K, cin, cout), _np.float32)
+    off = 0
+    for d, w in zip(dilations, widths):
+        taps = [(K - 1) // 2 + (i - (ksize - 1) // 2) * d for i in range(ksize)]
+        gsz = w // cardinality
+        for g in range(cardinality):
+            ins = slice(g * gsz, (g + 1) * gsz)  # reads y[..., :w] group g
+            outs = slice(off + g * gsz, off + (g + 1) * gsz)
+            for ty in taps:
+                for tx in taps:
+                    mask[ty, tx, ins, outs] = 1.0
+        off += w
+    return mask, K
+
+
 class DilatedResidualBlock(nn.Module):
     """Pre-activation ResNeXt bottleneck with parallel dilated grouped convs
     (conv_cINN_base_functions.py:502-627). Identity shortcut (in/out widths
-    are equal at every use site, conv_cINN_make_model.py:1123-1131)."""
+    are equal at every use site, conv_cINN_make_model.py:1123-1131).
+
+    ``fuse_dilated_conv=True`` computes all dilated grouped branches with ONE
+    masked dense conv (see :func:`_dilated_branch_mask`) — same function
+    class and connectivity, higher nominal FLOPs but far better MXU
+    utilization (docs/PERF_NOTES.md). Incompatible with
+    ``ref_compat_group_slice``.
+    """
 
     nb_channels: int  # = num_kernels: bottleneck width and output width
     dilations: Tuple[int, ...]
@@ -141,6 +180,7 @@ class DilatedResidualBlock(nn.Module):
     layer_norm: bool
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
+    fuse_dilated_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,20 +197,40 @@ class DilatedResidualBlock(nn.Module):
         y = common(y)
         y = nn.Conv(self.nb_channels, (1, 1), kernel_init=kinit, dtype=self.dtype)(y)
         y = common(y)
-        branches = [
-            _grouped_conv(
-                y,
-                self.nb_channels // d,
-                self.ksize,
-                d,
-                self.cardinality,
-                kinit,
-                self.dtype,
-                ref_compat=self.ref_compat_group_slice,
+        if self.fuse_dilated_conv and len(self.dilations) > 1:
+            assert not self.ref_compat_group_slice, (
+                "fuse_dilated_conv implements the documented grouped-conv "
+                "semantics only"
             )
-            for d in self.dilations
-        ]
-        y = branches[0] if len(branches) == 1 else jnp.concatenate(branches, axis=-1)
+            import jax.lax as lax
+
+            mask, K = _dilated_branch_mask(
+                self.ksize, self.dilations, self.cardinality, self.nb_channels
+            )
+            kernel = self.param("fused_dil_kernel", kinit, mask.shape)
+            bias = self.param(
+                "fused_dil_bias", nn.initializers.zeros, (mask.shape[-1],)
+            )
+            w = (kernel * mask).astype(self.dtype)
+            y = lax.conv_general_dilated(
+                y.astype(self.dtype), w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(self.dtype)
+        else:
+            branches = [
+                _grouped_conv(
+                    y,
+                    self.nb_channels // d,
+                    self.ksize,
+                    d,
+                    self.cardinality,
+                    kinit,
+                    self.dtype,
+                    ref_compat=self.ref_compat_group_slice,
+                )
+                for d in self.dilations
+            ]
+            y = branches[0] if len(branches) == 1 else jnp.concatenate(branches, axis=-1)
         y = common(y)
         y = nn.Conv(self.nb_channels, (1, 1), kernel_init=kinit, dtype=self.dtype)(y)
         return shortcut + y
@@ -200,6 +260,7 @@ class ConvCouplingNet(nn.Module):
     n_heads: int = 1  # fused: 2 -> returns (A, b)
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
+    fuse_dilated_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -219,6 +280,7 @@ class ConvCouplingNet(nn.Module):
                 layer_norm=self.layer_norm,
                 init_scale=self.init_scale,
                 ref_compat_group_slice=self.ref_compat_group_slice,
+                fuse_dilated_conv=self.fuse_dilated_conv,
                 dtype=self.dtype,
             )(y)
         y = leaky_relu(y)

@@ -232,3 +232,77 @@ def test_layer_norm_variant_roundtrip(rng):
     zy, _ = model.apply(params, xy)
     back = model.apply(params, zy, method="inverse")
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_fused_dilated_conv_equivalence(rng):
+    """The masked-dense-kernel fused dilated conv computes exactly the same
+    function as the branch-list implementation when the branch kernels are
+    transplanted into the dense kernel's live positions."""
+    import jax.tree_util as jtu
+
+    from arl_conditional_normalizing_flows_tpu.models.subnets import (
+        DilatedResidualBlock,
+        _dilated_branch_mask,
+    )
+
+    nb, card, ksize, dils = 8, 2, 3, (1, 2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, nb)).astype(np.float32))
+
+    branchy = DilatedResidualBlock(
+        nb_channels=nb, dilations=dils, ksize=ksize, cardinality=card,
+        layer_norm=False,
+    )
+    pb = branchy.init(jax.random.PRNGKey(0), x)
+
+    fused = DilatedResidualBlock(
+        nb_channels=nb, dilations=dils, ksize=ksize, cardinality=card,
+        layer_norm=False, fuse_dilated_conv=True,
+    )
+    pf = fused.init(jax.random.PRNGKey(1), x)
+
+    # transplant: shared 1x1 convs; branch kernels -> dense positions.
+    # branchy conv order: Conv_0 = 1x1 in, Conv_1..Conv_n = branches,
+    # Conv_{n+1} = 1x1 out; fused order: Conv_0 = 1x1 in, Conv_1 = 1x1 out.
+    pfd = dict(pf["params"])
+    pbd = pb["params"]
+    pfd["Conv_0"] = pbd["Conv_0"]
+    pfd["Conv_1"] = pbd[f"Conv_{1 + len(dils)}"]
+    mask, K = _dilated_branch_mask(ksize, dils, card, nb)
+    dense = np.zeros(mask.shape, np.float32)
+    bias = []
+    off = 0
+    for bi, d in enumerate(dils):
+        w = nb // d
+        gsz = w // card
+        bk = np.asarray(pbd[f"Conv_{1 + bi}"]["kernel"])  # (k,k,w/card,w)
+        bias.append(np.asarray(pbd[f"Conv_{1 + bi}"]["bias"]))
+        taps = [(K - 1) // 2 + (i - (ksize - 1) // 2) * d for i in range(ksize)]
+        for g in range(card):
+            for i, ty in enumerate(taps):
+                for j, tx in enumerate(taps):
+                    dense[ty, tx, g * gsz : (g + 1) * gsz,
+                          off + g * gsz : off + (g + 1) * gsz] = bk[
+                        i, j, :, g * gsz : (g + 1) * gsz
+                    ]
+        off += w
+    pfd["fused_dil_kernel"] = jnp.asarray(dense)
+    pfd["fused_dil_bias"] = jnp.asarray(np.concatenate(bias))
+    out_b = branchy.apply(pb, x)
+    out_f = fused.apply({"params": pfd}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_b), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_dilated_conv_model_roundtrip(rng):
+    cfg = ConvFlowConfig(
+        io_shape=(16, 16, 2), x_d=1,
+        squeeze_factor_blocks=(0, 1), res_blocks=(1, 1),
+        num_kernels=(16, 16), cardinality=(2, 2),
+        fuse_dilated_conv=True,
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax

@@ -25,7 +25,7 @@ conv_cINN_make_model.py:1322-1326; identical in expectation).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

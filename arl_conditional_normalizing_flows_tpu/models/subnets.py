@@ -19,7 +19,7 @@ re-designed for XLA:TPU:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

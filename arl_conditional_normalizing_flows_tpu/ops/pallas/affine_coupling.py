@@ -16,8 +16,6 @@ log-det, so results are exact).  On non-TPU backends (and under
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -10,8 +10,7 @@ SR-residual reconstruction) and moment statistics for parity checks.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -53,6 +53,13 @@ class ConvFlowConfig:
     # MXU-efficient op instead of dilations x cardinality tiny convs —
     # docs/PERF_NOTES.md). Ignored when a block has a single dilation.
     fuse_dilated_conv: bool = False
+    # Keep ALL flow activations (inter-layer tensors, mask moves, coupling
+    # law) in compute_dtype instead of converting each coupling's head and
+    # law back to float32. Log-det and loss reductions still accumulate in
+    # float32. MEASURED SLOWER on v5e (~10% train, 2.2x sampling — XLA
+    # already fuses the converts; see docs/PERF_NOTES.md); kept opt-in for
+    # memory-constrained cases. No-op when compute_dtype == float32.
+    flow_in_compute_dtype: bool = False
 
     def __post_init__(self):
         n = len(self.squeeze_factor_blocks)

@@ -62,6 +62,7 @@ class ConvCouplingLayer(nn.Module):
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
     dtype: jnp.dtype = jnp.float32
+    keep_compute_dtype: bool = False  # flow_in_compute_dtype (models/arch.py)
 
     def setup(self):
         h, w, d = self.in_shape
@@ -85,6 +86,7 @@ class ConvCouplingLayer(nn.Module):
             ref_compat_group_slice=self.ref_compat_group_slice,
             fuse_dilated_conv=self.fuse_dilated_conv,
             dtype=self.dtype,
+            keep_compute_dtype=self.keep_compute_dtype,
         )
         if self.fused_subnet:
             self.net_ab = ConvCouplingNet(n_heads=2, **common)
@@ -166,6 +168,7 @@ class ConvCFlow(nn.Module):
                         ref_compat_group_slice=cfg.ref_compat_group_slice,
                         fuse_dilated_conv=cfg.fuse_dilated_conv,
                         dtype=compute_dtype,
+                        keep_compute_dtype=cfg.flow_in_compute_dtype,
                     )
                 )
             if blk.squeeze_factor:
@@ -174,10 +177,17 @@ class ConvCFlow(nn.Module):
         self.couplings = couplings
         self.plan = tuple(plan)
         self.sf_plan = tuple(op for op in plan if op[0] != "couple")
+        # flow_in_compute_dtype: one entry cast + one exit cast per pass,
+        # instead of per-coupling head/law converts
+        self.act_dtype = (
+            compute_dtype
+            if cfg.flow_in_compute_dtype and compute_dtype != jnp.float32
+            else None
+        )
 
     def forward(self, xy):
         """xy' -> (zy, log_det). zy has the SAME shape as xy; log_det is (B,)."""
-        uv = xy
+        uv = xy if self.act_dtype is None else xy.astype(self.act_dtype)
         zy = None
         log_det = jnp.zeros(xy.shape[:-3], jnp.float32)
         for op in self.plan:
@@ -191,7 +201,7 @@ class ConvCFlow(nn.Module):
                 uv, zy = squeeze_ops.factor_out(uv, zy)
 
         if not self.sf_plan:
-            return uv, log_det
+            return uv.astype(jnp.float32), log_det
 
         # Reshape the flattened latent back to the xy layout by running ONLY
         # the squeeze/factor ops backward (conv_cINN_make_model.py:1754-1771).
@@ -203,11 +213,11 @@ class ConvCFlow(nn.Module):
             else:  # squeeze (backward)
                 vu = squeeze_ops.unsqueeze(vu)
                 zy = _maybe_unsqueeze_zy(zy)
-        return vu, log_det
+        return vu.astype(jnp.float32), log_det
 
     def inverse(self, zy):
         """zy (xy-shaped) -> xy' (conv_cINN_make_model.py:1774-1798)."""
-        uv = zy
+        uv = zy if self.act_dtype is None else zy.astype(self.act_dtype)
         acc = None
         # re-flatten: squeeze/factor ops forward only
         for op in self.sf_plan:
@@ -225,7 +235,7 @@ class ConvCFlow(nn.Module):
                 acc = _maybe_unsqueeze_zy(acc)
             else:  # factor backward: reintegrate d(uv) channels
                 uv, acc = squeeze_ops.factor_in(uv, acc, op[1])
-        return uv
+        return uv.astype(jnp.float32)
 
     def __call__(self, xy):
         return self.forward(xy)

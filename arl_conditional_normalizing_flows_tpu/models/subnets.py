@@ -262,6 +262,9 @@ class ConvCouplingNet(nn.Module):
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
     dtype: jnp.dtype = jnp.float32
+    # keep the head (tanh + scale) in ``dtype`` instead of casting to f32 —
+    # the flow_in_compute_dtype perf mode (models/arch.py)
+    keep_compute_dtype: bool = False
 
     @nn.compact
     def __call__(self, u1):
@@ -293,11 +296,12 @@ class ConvCouplingNet(nn.Module):
             kernel_init=kinit,
             dtype=self.dtype,
         )(y)
-        head = head.astype(jnp.float32)
+        if not self.keep_compute_dtype:
+            head = head.astype(jnp.float32)
 
         def scale_transform(a):
             s = self.param("tanh_scale", nn.initializers.ones, ())
-            return jnp.tanh(a) * s
+            return jnp.tanh(a) * s.astype(a.dtype)
 
         if self.n_heads == 1:
             return scale_transform(head) if self.scale_head else head

@@ -33,12 +33,14 @@ def affine_forward(a, b, u2):
     Returns:
         (v2, delta_log_det): v2 same shape as u2, delta_log_det shape (B,).
     """
-    v2 = jnp.exp(a) * u2 + b
+    v2 = jnp.exp(a) * u2.astype(a.dtype) + b
     axes = tuple(range(1, a.ndim))
-    delta = jnp.sum(a, axis=axes)
+    # the log-det reduction always accumulates in float32, even when the
+    # coupling law itself runs in a lower compute dtype
+    delta = jnp.sum(a.astype(jnp.float32), axis=axes)
     return v2, delta
 
 
 def affine_inverse(a, b, v2):
     """u2 = exp(-a) * (v2 - b) (conv_cINN_make_model.py:1235-1253)."""
-    return jnp.exp(-a) * (v2 - b)
+    return jnp.exp(-a) * (v2.astype(a.dtype) - b)

@@ -58,6 +58,9 @@ def main():
         ksize=3,
         fused_subnet=os.environ.get("BENCH_FUSED", "1") == "1",
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        # measured SLOWER when on (bf16 end-to-end loses XLA convert fusions
+        # and halves sampling throughput — docs/PERF_NOTES.md); keep off
+        flow_in_compute_dtype=os.environ.get("BENCH_FLOW_DTYPE", "0") == "1",
         **arch,
     )
     model = ConvCFlow(cfg)

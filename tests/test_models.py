@@ -196,6 +196,36 @@ def test_conv_fused_subnet_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
 
 
+def test_conv_flow_in_compute_dtype_mode(rng):
+    """flow_in_compute_dtype keeps activations in bf16 end-to-end: outputs
+    come back float32, stay close to the f32 path, and the flow still
+    round-trips within bf16 tolerance (docs/PERF_NOTES.md perf mode)."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(
+        CONV_CFG,
+        fused_subnet=True,
+        compute_dtype="bfloat16",
+        flow_in_compute_dtype=True,
+    )
+    model16, params = init_conv(cfg16)
+    xy = jnp.asarray(rng.normal(size=(4, 4, 4, 2)).astype(np.float32))
+    zy, log_det = model16.apply(params, xy)
+    assert zy.dtype == jnp.float32 and log_det.dtype == jnp.float32
+
+    back = model16.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=0.15)
+
+    # same params through the f32 path: bf16-level deviation only
+    model32 = ConvCFlow(dataclasses.replace(CONV_CFG, fused_subnet=True))
+    zy32, ld32 = model32.apply(params, xy)
+    assert float(jnp.abs(zy32 - zy).max()) < 0.1
+    assert float(jnp.abs(ld32 - log_det).max()) < 0.1
+
+    out = model16.apply(params, xy, method="log_loss")
+    assert all(np.isfinite(float(v)) for v in out.values())
+
+
 def test_derive_blocks_reference_arch():
     # the reference default: 28x28x2, squeeze after block 2
     cfg = ConvFlowConfig(

@@ -70,6 +70,10 @@ class ToyCINN(nn.Module):
 
     def forward(self, xy):
         """xy' -> (zy, log_det) with log_det per-sample, shape (B,)."""
+        # the index-based masks would silently mis-slice a wider tensor
+        assert xy.shape[-1] == self.cfg.io_shape, (
+            f"expected io_shape={self.cfg.io_shape} features, got {xy.shape[-1]}"
+        )
         u = xy
         log_det = jnp.zeros(xy.shape[:-1], xy.dtype)
         for j in reversed(self.cfg.ordered_indices()):
@@ -79,6 +83,9 @@ class ToyCINN(nn.Module):
 
     def inverse(self, zy):
         """zy -> xy' (the reference's direction +1, TOYcINN_make_model.py:299)."""
+        assert zy.shape[-1] == self.cfg.io_shape, (
+            f"expected io_shape={self.cfg.io_shape} features, got {zy.shape[-1]}"
+        )
         v = zy
         for j in self.cfg.ordered_indices():
             v, _ = self._apply_layer(j, v, invert=True)

@@ -34,6 +34,11 @@ def instance_noise_x_only(key, xy, alpha, x_d):
     Args:
         xy: (..., D) with x in [..., :x_d] and y' in [..., x_d:].
     """
+    # x_d=None would make BOTH slices the full tensor (``[..., :None]`` ==
+    # ``[..., None:]`` == everything) and silently double the feature width
+    assert x_d is not None and 0 < x_d < xy.shape[-1], (
+        f"instance_noise_x_only needs 0 < x_d < {xy.shape[-1]}, got {x_d}"
+    )
     x, y = xy[..., :x_d], xy[..., x_d:]
     eps = jax.random.normal(key, x.shape, x.dtype)
     x = alpha * x + (1.0 - alpha) * eps

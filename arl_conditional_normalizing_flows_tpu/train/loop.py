@@ -70,6 +70,10 @@ def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int]
         if noise_mode == "none":
             return xy
         if noise_mode == "x_only":
+            assert x_d is not None, (
+                "noise_mode='x_only' requires x_d (the toy variant noises "
+                "only the leading x_d dims, TOYcINN_make_datasets.py:1324-1329)"
+            )
             return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
         return noise_ops.instance_noise(key, xy, alpha)
 
@@ -133,6 +137,10 @@ def make_scan_train_step(
         if noise_mode == "none":
             return xy
         if noise_mode == "x_only":
+            assert x_d is not None, (
+                "noise_mode='x_only' requires x_d (the toy variant noises "
+                "only the leading x_d dims, TOYcINN_make_datasets.py:1324-1329)"
+            )
             return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
         return noise_ops.instance_noise(key, xy, alpha)
 

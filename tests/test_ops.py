@@ -116,6 +116,44 @@ def test_instance_noise_x_only_leaves_y(rng):
     assert not np.allclose(np.asarray(out[:, :2]), np.asarray(xy[:, :2]))
 
 
+def test_instance_noise_x_only_requires_x_d(rng):
+    """x_d=None would make both slices the full tensor and silently double
+    the feature width — must be rejected (and the train-loop builders must
+    reject noise_mode='x_only' without x_d)."""
+    key = jax.random.PRNGKey(1)
+    xy = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    with pytest.raises(AssertionError):
+        noise.instance_noise_x_only(key, xy, 0.3, x_d=None)
+    with pytest.raises(AssertionError):
+        noise.instance_noise_x_only(key, xy, 0.3, x_d=3)
+
+    from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        make_step_fns,
+    )
+
+    cfg = ToyConfig(num_coupling_layers=6, intermediate_dims=8, num_layers=1)
+    model = ToyCINN(cfg)
+    state = create_train_state(model, jnp.zeros((1, 3)), 1e-3)
+    step, _ = make_step_fns(model, noise_mode="x_only")  # x_d omitted
+    with pytest.raises(AssertionError):
+        step(state, xy, key, jnp.float32(0.5))
+
+
+def test_toy_model_rejects_wrong_width(rng):
+    from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
+
+    cfg = ToyConfig(num_coupling_layers=6, intermediate_dims=8, num_layers=1)
+    model = ToyCINN(cfg)
+    import jax as _jax
+
+    params = model.init(_jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    wide = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    with pytest.raises(AssertionError):
+        model.apply(params, wide)
+
+
 def test_annealing_alphas():
     a = noise.annealing_alphas(10)
     np.testing.assert_allclose(a, np.arange(10) / 10.0)

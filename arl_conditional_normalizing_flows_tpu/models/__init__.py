@@ -3,6 +3,7 @@ from arl_conditional_normalizing_flows_tpu.models.arch import (  # noqa: F401
     ToyConfig,
     arch_string,
     derive_blocks,
+    perf_arch_config,
     shuffle_mask_indices,
 )
 from arl_conditional_normalizing_flows_tpu.models.conv import (  # noqa: F401

@@ -19,8 +19,9 @@ time scales linearly with batch (compute-bound, not latency-bound).
 
 ``vs_baseline`` compares against BENCH_BASELINE.json (pinned to the first
 honest measurement on this platform). Config via env: BENCH_BATCH (128),
-BENCH_FUSED (1), BENCH_DTYPE (bfloat16), BENCH_INNER (16),
-BENCH_ARCH=small for a fast validation arch.
+BENCH_FUSED (1), BENCH_DTYPE (bfloat16), BENCH_INNER (64),
+BENCH_ARCH=small for a fast validation arch, BENCH_ARCH=perf for the
+128-lane capacity preset (models.arch.perf_arch_config).
 """
 
 import json
@@ -30,7 +31,11 @@ import time
 
 import numpy as np
 
-SCAN_INNER = int(os.environ.get("BENCH_INNER", 16))
+# fresh sweep (docs/PERF_NOTES.md): 16 -> 8981 sps, 32 -> 10136, 64 -> 10986,
+# 128 -> 10976, 256 -> 11450 (but 3.5x the compile time). 64 is the knee —
+# the ~30 ms blocking readback is amortized to <2% and step time converges
+# to the profiler's ~11 ms device floor.
+SCAN_INNER = int(os.environ.get("BENCH_INNER", 64))
 
 
 def main():
@@ -49,6 +54,10 @@ def main():
     if os.environ.get("BENCH_ARCH") == "small":  # fast validation arch
         arch = dict(io_shape=(8, 8, 2), squeeze_factor_blocks=(0, 1),
                     res_blocks=(1, 1), num_kernels=(16, 16), cardinality=(2, 2))
+    elif os.environ.get("BENCH_ARCH") == "perf":  # 128-lane capacity preset
+        arch = dict(io_shape=(28, 28, 2), squeeze_factor_blocks=(0, 1, 0, 0),
+                    res_blocks=(3, 3, 3, 3), num_kernels=(128, 128, 128, 128),
+                    cardinality=(8, 8, 8, 8))
     else:
         arch = dict(io_shape=(28, 28, 2), squeeze_factor_blocks=(0, 1, 0, 0),
                     res_blocks=(3, 3, 3, 3), num_kernels=(64, 64, 32, 32),

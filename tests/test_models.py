@@ -226,6 +226,29 @@ def test_conv_flow_in_compute_dtype_mode(rng):
     assert all(np.isfinite(float(v)) for v in out.values())
 
 
+def test_perf_arch_preset_valid_and_bijective(rng):
+    """The 128-lane capacity preset must satisfy every arch constraint
+    (dilation divisibility etc.) and stay a valid bijection."""
+    from arl_conditional_normalizing_flows_tpu.models import perf_arch_config
+
+    cfg = perf_arch_config()  # full 28x28 preset: constraints check at init
+    derive_blocks(cfg)
+
+    small = perf_arch_config(
+        io_shape=(8, 8, 2),
+        squeeze_factor_blocks=(0, 1),
+        res_blocks=(1, 1),
+        num_kernels=(128, 128),
+        cardinality=(8, 8),
+        compute_dtype="float32",
+    )
+    model, params = init_conv(small)
+    xy = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
 def test_derive_blocks_reference_arch():
     # the reference default: 28x28x2, squeeze after block 2
     cfg = ConvFlowConfig(

@@ -64,6 +64,49 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     )
 
 
+def _fsdp_rule(mesh: Mesh, x, axis_name: str) -> NamedSharding:
+    """Shard one array along its LARGEST dim divisible by the axis size;
+    scalars and indivisible shapes replicate."""
+    n = mesh.shape[axis_name]
+    if not hasattr(x, "shape") or x.ndim == 0 or n == 1:
+        return NamedSharding(mesh, P())
+    dims = list(x.shape)
+    candidates = [d for d in range(len(dims)) if dims[d] % n == 0 and dims[d] >= n]
+    if not candidates:
+        return NamedSharding(mesh, P())
+    d = max(candidates, key=lambda i: dims[i])
+    spec = [None] * len(dims)
+    spec[d] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(mesh: Mesh, params, axis_name: str = "model"):
+    """FSDP-style parameter sharding over the mesh's ``axis_name`` axis.
+
+    Conv kernels shard their output-channel axis, biases their only axis;
+    scalars and indivisible shapes replicate. Under ``jit`` XLA's SPMD
+    partitioner inserts the all-gather before each use and the
+    reduce-scatter after the gradient, so parameter + optimizer memory
+    scales down with the axis while the math is unchanged. Composes with
+    the batch-sharded ``data`` axis (2-D mesh from :func:`make_2d_mesh`).
+
+    Returns a pytree of NamedShardings matching ``params``.
+    """
+    return jax.tree_util.tree_map(lambda x: _fsdp_rule(mesh, x, axis_name), params)
+
+
+def state_shardings(mesh: Mesh, state, axis_name: str = "model"):
+    """Shardings for a full TrainState: params and optimizer moments follow
+    :func:`param_shardings` (moments land with their params); step counters
+    and other scalars replicate."""
+    rule = lambda x: _fsdp_rule(mesh, x, axis_name)
+    return state.replace(
+        params=jax.tree_util.tree_map(rule, state.params),
+        opt_state=jax.tree_util.tree_map(rule, state.opt_state),
+        step=NamedSharding(mesh, P()),
+    )
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host bring-up (no-op when already initialized or single host)."""
     if jax.process_count() > 1:

@@ -48,7 +48,32 @@ def create_train_state(model, example_xy, learning_rate, seed=0, tx=None):
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int] = None):
+def _make_gather_fn(mesh, state_sharding):
+    """FSDP all-gather-at-use: params live sharded in HBM; a replicated
+    sharding constraint inside the loss makes XLA gather each weight just
+    before its op (and reduce-scatter the update through the output
+    sharding). Identity when no FSDP sharding is configured."""
+    if mesh is None or state_sharding is None:
+        return lambda params: params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def gather(params):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), params
+        )
+
+    return gather
+
+
+def make_step_fns(
+    model,
+    mesh=None,
+    noise_mode: str = "full",
+    x_d: Optional[int] = None,
+    state_sharding=None,
+):
     """Build jitted (train_step, eval_step).
 
     Steps take ``(state, xy, key, alpha)``; instance noise
@@ -59,6 +84,11 @@ def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int]
     Args:
         noise_mode: "full" (conv semantics: noise the whole xy tensor),
             "x_only" (toy semantics, needs ``x_d``), or "none".
+        state_sharding: optional TrainState-shaped tree of NamedShardings
+            (``parallel.mesh.state_shardings``) for FSDP-style parameter /
+            optimizer sharding over a 2-D (data, model) mesh; the batch stays
+            sharded on the mesh's "data" axis. Place the state with
+            ``jax.device_put(state, state_sharding)`` before the first step.
 
     NOTE: ``train_step`` DONATES the incoming state's buffers (the standard
     jit-update idiom). After ``state2, _ = train_step(state, ...)`` — or after
@@ -77,8 +107,10 @@ def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int]
             return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
         return noise_ops.instance_noise(key, xy, alpha)
 
+    gather = _make_gather_fn(mesh, state_sharding)
+
     def loss_fn(params, xy):
-        out = model.apply(params, xy, method="log_loss")
+        out = model.apply(gather(params), xy, method="log_loss")
         return out["loss"], out
 
     def _train_step(state, xy, key, alpha):
@@ -99,15 +131,16 @@ def make_step_fns(model, mesh=None, noise_mode: str = "full", x_d: Optional[int]
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
+        ss = repl if state_sharding is None else state_sharding
         batch = NamedSharding(mesh, P("data"))
         train_step = jax.jit(
             _train_step,
-            in_shardings=(repl, batch, repl, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(ss, batch, repl, repl),
+            out_shardings=(ss, repl),
             donate_argnums=(0,),
         )
         eval_step = jax.jit(
-            _eval_step, in_shardings=(repl, batch), out_shardings=repl
+            _eval_step, in_shardings=(ss, batch), out_shardings=repl
         )
     return train_step, eval_step
 
@@ -118,6 +151,7 @@ def make_scan_train_step(
     mesh=None,
     noise_mode: str = "full",
     x_d: Optional[int] = None,
+    state_sharding=None,
 ):
     """A multi-step train function: ``num_inner`` optimizer steps fused into
     ONE XLA program via ``lax.scan``.
@@ -144,8 +178,10 @@ def make_scan_train_step(
             return noise_ops.instance_noise_x_only(key, xy, alpha, x_d)
         return noise_ops.instance_noise(key, xy, alpha)
 
+    gather = _make_gather_fn(mesh, state_sharding)
+
     def loss_fn(params, xy):
-        out = model.apply(params, xy, method="log_loss")
+        out = model.apply(gather(params), xy, method="log_loss")
         return out["loss"], out
 
     def _multi_step(state, xy_stack, key, alpha):
@@ -167,11 +203,12 @@ def make_scan_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
+    ss = repl if state_sharding is None else state_sharding
     batch = NamedSharding(mesh, P(None, "data"))  # (inner, batch, ...)
     return jax.jit(
         _multi_step,
-        in_shardings=(repl, batch, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(ss, batch, repl, repl),
+        out_shardings=(ss, repl),
         donate_argnums=(0,),
     )
 

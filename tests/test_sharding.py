@@ -98,6 +98,69 @@ def test_sharded_sample_fanout(mesh, rng):
     )
 
 
+def test_fsdp_2d_mesh_train_step_matches_single_device(rng):
+    """FSDP over a (data=2, model=4) mesh: params + Adam moments sharded on
+    the model axis, batch on the data axis — one step must produce the same
+    loss and updated params as the unsharded step (XLA inserts the
+    all-gathers / reduce-scatters; the math is unchanged)."""
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.parallel import (
+        make_2d_mesh,
+        state_shardings,
+    )
+
+    cfg = ConvFlowConfig(
+        io_shape=(4, 4, 2), x_d=1, squeeze_factor_blocks=(0, 1),
+        res_blocks=(1, 1), num_kernels=(8, 8), cardinality=(2, 2), ksize=3,
+    )
+    model = ConvCFlow(cfg)
+    xy = jnp.asarray(rng.normal(size=(16, 4, 4, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    alpha = jnp.float32(1.0)
+
+    state_a = create_train_state(model, xy[:1], 1e-3, seed=0)
+    step_single, _ = make_step_fns(model, noise_mode="none")
+
+    mesh2d = make_2d_mesh(2, 4)
+    state_b = create_train_state(model, xy[:1], 1e-3, seed=0)
+    ss = state_shardings(mesh2d, state_b)
+    state_b = jax.device_put(state_b, ss)
+    # at least one param leaf must actually be sharded 4-way
+    sharded_leaves = [
+        p for p, s in zip(
+            jax.tree_util.tree_leaves(state_b.params),
+            jax.tree_util.tree_leaves(ss.params),
+        )
+        if s.spec != P()
+    ]
+    assert sharded_leaves, "no param was sharded on the model axis"
+    assert len(sharded_leaves[0].sharding.device_set) == 8  # (2,4) mesh
+
+    step_fsdp, eval_fsdp = make_step_fns(
+        model, mesh=mesh2d, noise_mode="none", state_sharding=ss
+    )
+    xy_sharded = shard_batch(xy, mesh2d)
+    losses_a, losses_b = [], []
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        state_a, out_a = step_single(state_a, xy, k, alpha)
+        state_b, out_b = step_fsdp(state_b, xy_sharded, k, alpha)
+        losses_a.append(float(out_a["loss"]))
+        losses_b.append(float(out_b["loss"]))
+    # identical training trajectory (per-step losses) ...
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4)
+    # ... and params equal up to Adam's step-quantized sign sensitivity: a
+    # reduction-order flip of a near-zero grad moves an element by ±lr per
+    # step, so bound by 2 * steps * lr rather than a float-noise tolerance
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2 * 3 * 1e-3
+        )
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -66,6 +66,12 @@ def build_parser():
     p.add_argument("--outdir", default="conv_run")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="fuse N optimizer steps into one XLA program "
+                   "(train.make_scan_train_step) — amortizes per-batch "
+                   "host dispatch; a trailing partial group per epoch is "
+                   "dropped. 0 disables; 16-64 is the measured TPU sweet "
+                   "spot (docs/PERF_NOTES.md)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--eval-samples", type=int, default=64,
                    help="conditional samples per condition for the final eval")
@@ -208,7 +214,31 @@ def main(argv=None):
         initial_epoch = ep + 1
         print(f"resuming from epoch {ep}")
 
-    train_step, eval_step = make_step_fns(model, mesh=mesh, noise_mode="full")
+    _, eval_step = make_step_fns(model, mesh=mesh, noise_mode="full")
+    fit_mesh = mesh
+    if args.scan_steps > 1:
+        from arl_conditional_normalizing_flows_tpu.train import (
+            epoch_stacks,
+            make_scan_train_step,
+        )
+
+        assert train_src.num_batches >= args.scan_steps, (
+            f"--scan-steps {args.scan_steps} exceeds the {train_src.num_batches} "
+            "batches per epoch — every epoch would be empty"
+        )
+        train_step = make_scan_train_step(
+            model, args.scan_steps, mesh=mesh, noise_mode="full"
+        )
+        train_feed = lambda k, e: epoch_stacks(
+            train_src.epoch(k, e), args.scan_steps
+        )
+        # stacks are (inner, batch, ...): the batch axis is axis 1, so fit's
+        # per-item axis-0 sharding would be wrong — the jitted step's
+        # in_shardings (P(None, "data")) place the uncommitted stacks instead
+        fit_mesh = None
+    else:
+        train_step, _ = make_step_fns(model, mesh=mesh, noise_mode="full")
+        train_feed = lambda k, e: train_src.epoch(k, e)
     history = HistoryLogger(
         csv_path=os.path.join(args.outdir, "history.csv"),
         jsonl_path=os.path.join(args.outdir, "history.jsonl"),
@@ -216,7 +246,7 @@ def main(argv=None):
     res = fit(
         state,
         train_step,
-        lambda k, e: train_src.epoch(k, e),
+        train_feed,
         key=jax.random.PRNGKey(args.seed),
         num_epochs=args.epochs,
         num_annealing_epochs=args.annealing_epochs,
@@ -225,7 +255,7 @@ def main(argv=None):
         patience=args.patience,
         monitor="val_loss",
         history=history,
-        mesh=mesh,
+        mesh=fit_mesh,
         initial_epoch=initial_epoch,
         checkpoint_fn=lambda ep, st: mgr.save(ep, st),
         checkpoint_every=args.checkpoint_every,

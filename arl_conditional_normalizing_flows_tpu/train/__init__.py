@@ -7,6 +7,7 @@ from arl_conditional_normalizing_flows_tpu.train.loop import (  # noqa: F401
     FitResult,
     TrainState,
     create_train_state,
+    epoch_stacks,
     fit,
     make_scan_train_step,
     make_step_fns,

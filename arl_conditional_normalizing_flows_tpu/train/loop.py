@@ -213,6 +213,24 @@ def make_scan_train_step(
     )
 
 
+def epoch_stacks(batches: Iterable, num_inner: int):
+    """Group an epoch's batches into (num_inner, B, ...) stacks for
+    :func:`make_scan_train_step`.
+
+    Feeding the scanned step with whole stacks amortizes the per-batch
+    host->device dispatch (the dominant cost of small-model epochs through a
+    remote TPU backend — docs/PERF_NOTES.md). A trailing partial group is
+    DROPPED to keep shapes static; with shuffled class-pure batches this
+    loses at most ``num_inner - 1`` random batches per epoch.
+    """
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == num_inner:
+            yield jnp.stack(buf)
+            buf = []
+
+
 def noise_batches(key, num_batches, batch_size, shape, dtype=jnp.float32):
     """Data source for noise pre-training: fresh N(0,1) xy batches every epoch
     (conv_pre_training_cINN_on_noise.py:100-115)."""

@@ -73,6 +73,46 @@ def test_conv_driver_tiny_class(tmp_path):
     assert np.isfinite(final["loss"])
 
 
+def test_conv_driver_scan_steps(tmp_path):
+    """--scan-steps fuses N optimizer steps per XLA program; the run must
+    train (finite loss, history rows) just like the per-batch path."""
+    from arl_conditional_normalizing_flows_tpu.drivers import conv
+
+    out = str(tmp_path / "convscan")
+    conv.main(
+        [
+            "--model-type", "class",
+            "--dataset", "synthetic", "--synthetic-per-class", "64",
+            "--data-classes", "0", "1",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--batch-size", "16",
+            "--epochs", "2",
+            "--annealing-epochs", "1",
+            "--checkpoint-every", "0",
+            "--scan-steps", "2",
+            "--outdir", out,
+        ]
+    )
+    with open(os.path.join(out, "eval.json")) as f:
+        final = json.load(f)
+    assert np.isfinite(final["loss"])
+
+
+def test_epoch_stacks_groups_and_drops_remainder():
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.train import epoch_stacks
+
+    batches = [jnp.full((4, 3), i, jnp.float32) for i in range(7)]
+    stacks = list(epoch_stacks(iter(batches), 3))
+    assert len(stacks) == 2  # 7 batches -> two stacks of 3, remainder dropped
+    assert stacks[0].shape == (3, 4, 3)
+    assert float(stacks[1][0, 0, 0]) == 3.0
+
+
 def test_conv_driver_tiny_sr(tmp_path):
     from arl_conditional_normalizing_flows_tpu.drivers import conv
 

@@ -54,6 +54,10 @@ def build_parser():
                    help="extra y' values (standardized) for an off-manifold "
                    "interpolation sweep (TOYcINN.py:1115-1206)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="fuse N optimizer steps into one XLA program "
+                   "(train.make_scan_train_step); drops a trailing partial "
+                   "group per epoch. 0 disables")
     return p
 
 
@@ -131,6 +135,20 @@ def main(argv=None):
                 yield toy_datasets.sample_continuous_sectors(
                     k, args.batch_size, args.sector_width
                 )
+
+    if args.scan_steps > 1:
+        from arl_conditional_normalizing_flows_tpu.train import (
+            epoch_stacks,
+            make_scan_train_step,
+        )
+
+        train_step = make_scan_train_step(
+            model, args.scan_steps, noise_mode="x_only", x_d=cfg.x_d
+        )
+        per_batch_epoch = data_epoch
+        data_epoch = lambda key, epoch: epoch_stacks(
+            per_batch_epoch(key, epoch), args.scan_steps
+        )
 
     history = HistoryLogger(
         csv_path=os.path.join(args.outdir, "history.csv"),

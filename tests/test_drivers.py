@@ -101,6 +101,30 @@ def test_conv_driver_scan_steps(tmp_path):
     assert np.isfinite(final["loss"])
 
 
+def test_toy_driver_scan_steps(tmp_path):
+    from arl_conditional_normalizing_flows_tpu.drivers import toy
+
+    out = str(tmp_path / "toyscan")
+    toy.main(
+        [
+            "--dataset", "crescents",
+            "--coupling-blocks", "1",
+            "--intermediate-dims", "8",
+            "--num-layers", "1",
+            "--batch-size", "64",
+            "--batches-per-class", "4",
+            "--epochs", "2",
+            "--annealing-epochs", "1",
+            "--eval-samples", "64",
+            "--scan-steps", "2",
+            "--outdir", out,
+        ]
+    )
+    with open(os.path.join(out, "eval.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["final"]["loss"])
+
+
 def test_epoch_stacks_groups_and_drops_remainder():
     import jax.numpy as jnp
 

@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--outdir", default="noise_pretrain")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="fuse N optimizer steps into one XLA program "
+                   "(train.make_scan_train_step); drops a trailing partial "
+                   "group per epoch. 0 disables")
     return p
 
 
@@ -89,6 +93,22 @@ def main(argv=None):
     shape = cfg.io_shape
     state = create_train_state(model, jnp.zeros((1,) + shape), args.lr, seed=args.seed)
     train_step, _ = make_step_fns(model, noise_mode="none")
+    data_epoch = lambda k, e: noise_batches(
+        k, args.num_batches, args.batch_size, shape
+    )
+    if args.scan_steps > 1:
+        from arl_conditional_normalizing_flows_tpu.train import (
+            epoch_stacks,
+            make_scan_train_step,
+        )
+
+        train_step = make_scan_train_step(
+            model, args.scan_steps, noise_mode="none"
+        )
+        per_batch_epoch = data_epoch
+        data_epoch = lambda k, e: epoch_stacks(
+            per_batch_epoch(k, e), args.scan_steps
+        )
 
     history = HistoryLogger(
         csv_path=os.path.join(args.outdir, "history.csv"),
@@ -97,7 +117,7 @@ def main(argv=None):
     res = fit(
         state,
         train_step,
-        lambda k, e: noise_batches(k, args.num_batches, args.batch_size, shape),
+        data_epoch,
         key=jax.random.PRNGKey(args.seed),
         num_epochs=args.epochs,
         patience=args.patience,

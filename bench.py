@@ -70,6 +70,9 @@ def main():
         # measured SLOWER when on (bf16 end-to-end loses XLA convert fusions
         # and halves sampling throughput — docs/PERF_NOTES.md); keep off
         flow_in_compute_dtype=os.environ.get("BENCH_FLOW_DTYPE", "0") == "1",
+        # fused Pallas coupling law — measured ~6% slower than XLA's own
+        # fusion at flagship sizes (docs/PERF_NOTES.md); opt-in for A/Bs
+        use_pallas_coupling=os.environ.get("BENCH_PALLAS", "0") == "1",
         **arch,
     )
     model = ConvCFlow(cfg)

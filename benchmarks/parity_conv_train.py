@@ -125,11 +125,20 @@ def run_reference(epochs, seed=0):
 
 
 
-def run_image_parity(epochs=40, seed=0, size=8):
+def run_image_parity(epochs=40, seed=0, size=8, anneal=10, arch=None,
+                     batch=None, layer_norm=False, num_per_class=128):
     """Matched-budget CLASS-CONDITIONAL image training on identical data:
     synthetic digits (2 classes), logit transform, label plane, class-pure
     batches, 2% noise floor — the full C19 pipeline semantics — trained by
-    both implementations on the byte-identical batch stream."""
+    both implementations on the byte-identical batch stream.
+
+    ``anneal=100, epochs=600`` reproduces the reference driver's FULL budget
+    (conv_cINN.py:116 num_annealing_epochs=100 + :119 num_epochs=500).
+    ``arch=(sf, nrb, nk, card)`` overrides the small default; pass the
+    reference driver's flagship lists (conv_cINN.py:56-65) with ``size=28``,
+    ``batch=32``, ``layer_norm=True`` for flagship-arch parity."""
+    sf, nrb, nk, card = arch if arch is not None else (SF, NRB, NK, CARD)
+    batch = batch if batch is not None else BATCH
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -151,8 +160,9 @@ def run_image_parity(epochs=40, seed=0, size=8):
         make_step_fns,
     )
 
-    imgs, labels = synthetic_digits(num_per_class=128, num_classes=2, size=size)
-    src = ClassConditionalSource(imgs, labels, [0, 1], BATCH, use_logits=True)
+    imgs, labels = synthetic_digits(num_per_class=num_per_class, num_classes=2,
+                                    size=size)
+    src = ClassConditionalSource(imgs, labels, [0, 1], batch, use_logits=True)
     h, w, xy_d = src.xy_shape
 
     # pre-generate the SAME epoch batch streams for both implementations
@@ -161,7 +171,7 @@ def run_image_parity(epochs=40, seed=0, size=8):
     for ep in range(epochs):
         key, k = jax.random.split(key)
         streams.append([np.asarray(b) for b in src.epoch(k, ep)])
-    anneal = 10
+    anneal = int(anneal)
 
     def alpha_of(ep):
         return ep / anneal if ep < anneal else 1.0
@@ -177,11 +187,11 @@ def run_image_parity(epochs=40, seed=0, size=8):
     tf.random.set_seed(seed)
     np.random.seed(seed)
     m = cref.cFlow(
-        io_shape=[h, w, xy_d], x_d=1, squeeze_factor_block_list=list(SF),
-        ResNeXt_block_list=list(NRB), num_kernels_list=list(NK),
-        cardinality_list=list(CARD), ksize=3,
+        io_shape=[h, w, xy_d], x_d=1, squeeze_factor_block_list=list(sf),
+        ResNeXt_block_list=list(nrb), num_kernels_list=list(nk),
+        cardinality_list=list(card), ksize=3,
         init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
-        LAYER_NORM=False,
+        LAYER_NORM=layer_norm,
     )
     opt = tf.keras.optimizers.Adam(LR)
     var = []
@@ -209,8 +219,9 @@ def run_image_parity(epochs=40, seed=0, size=8):
 
     # ---- ours (ref-compat grouped conv, identical batches) ---------------
     cfg = ConvFlowConfig(
-        io_shape=(h, w, xy_d), x_d=1, squeeze_factor_blocks=SF, res_blocks=NRB,
-        num_kernels=NK, cardinality=CARD, ksize=3, ref_compat_group_slice=True,
+        io_shape=(h, w, xy_d), x_d=1, squeeze_factor_blocks=sf, res_blocks=nrb,
+        num_kernels=nk, cardinality=card, ksize=3, layer_norm=layer_norm,
+        ref_compat_group_slice=True,
     )
     model = ConvCFlow(cfg)
     state = create_train_state(model, jnp.zeros((1, h, w, xy_d)), LR, seed=seed)
@@ -229,17 +240,24 @@ def run_image_parity(epochs=40, seed=0, size=8):
     ours_hist = np.asarray(ours_hist)
 
     names = ["loss", "z_loss", "y_loss", "detJ_loss"]
+    # loss trajectory at checkpoints so convergence ALIGNMENT (not just the
+    # endpoint) is part of the parity record
+    marks = sorted({min(e, epochs - 1) for e in (0, 9, 49, 99, 149, 299, 449, epochs - 1)})
     return {
         "task": f"class-conditional {size}x{size} synthetic, identical batches",
         "epochs": epochs,
+        "annealing_epochs": anneal,
+        "loss_trajectory_epochs": [m + 1 for m in marks],
         "reference": {
             "final": dict(zip(names, np.round(ref_hist[-1], 3).tolist())),
             "best_loss": round(float(ref_hist[:, 0].min()), 3),
+            "loss_trajectory": np.round(ref_hist[marks, 0], 2).tolist(),
             "seconds": round(ref_secs, 1),
         },
         "ours": {
             "final": dict(zip(names, np.round(ours_hist[-1], 3).tolist())),
             "best_loss": round(float(ours_hist[:, 0].min()), 3),
+            "loss_trajectory": np.round(ours_hist[marks, 0], 2).tolist(),
             "seconds": round(ours_secs, 1),
         },
     }
@@ -406,6 +424,19 @@ def main():
     if which in ("image",):
         out["image"] = run_image_parity(epochs)
         print(json.dumps(out["image"], indent=2), flush=True)
+    if which in ("image_full",):
+        # the reference driver's full budget: 100 annealing + 500 clean epochs
+        out["image_full"] = run_image_parity(epochs, anneal=100)
+        print(json.dumps(out["image_full"], indent=2), flush=True)
+    if which in ("image_flagship",):
+        # the reference driver's FLAGSHIP arch (conv_cINN.py:56-65,88,94):
+        # 28x28, [0,1,0,0]/[3,3,3,3]/[64,64,32,32]/[8,8,4,4], LN, batch 32
+        out["image_flagship"] = run_image_parity(
+            epochs, size=28, batch=32, layer_norm=True,
+            anneal=min(100, max(10, epochs // 6)),
+            arch=((0, 1, 0, 0), (3, 3, 3, 3), (64, 64, 32, 32), (8, 8, 4, 4)),
+        )
+        print(json.dumps(out["image_flagship"], indent=2), flush=True)
     if which in ("image_sample",):
         out["image_sample"] = run_image_sample_parity(epochs)
         print(json.dumps(out["image_sample"], indent=2), flush=True)

@@ -53,6 +53,13 @@ class ConvFlowConfig:
     # MXU-efficient op instead of dilations x cardinality tiny convs —
     # docs/PERF_NOTES.md). Ignored when a block has a single dilation.
     fuse_dilated_conv: bool = False
+    # Lower each grouped conv as ONE dense conv whose block-diagonal kernel
+    # is expanded from the grouped parameter at apply time (identical math,
+    # init, and parameter shapes — only the XLA lowering changes; see
+    # models.subnets.DenseMaskedGroupConv). A TPU lane-fill experiment:
+    # grouped 8-channel operands pad 16x to the 128-wide MXU, dense 64-channel
+    # operands only 2x. No effect when ref_compat_group_slice is set.
+    dense_masked_groups: bool = False
     # Keep ALL flow activations (inter-layer tensors, mask moves, coupling
     # law) in compute_dtype instead of converting each coupling's head and
     # law back to float32. Log-det and loss reductions still accumulate in

@@ -61,6 +61,7 @@ class ConvCouplingLayer(nn.Module):
     use_pallas: bool = False
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
+    dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
     keep_compute_dtype: bool = False  # flow_in_compute_dtype (models/arch.py)
 
@@ -85,6 +86,7 @@ class ConvCouplingLayer(nn.Module):
             layer_norm=self.layer_norm,
             ref_compat_group_slice=self.ref_compat_group_slice,
             fuse_dilated_conv=self.fuse_dilated_conv,
+            dense_masked_groups=self.dense_masked_groups,
             dtype=self.dtype,
             keep_compute_dtype=self.keep_compute_dtype,
         )
@@ -167,6 +169,7 @@ class ConvCFlow(nn.Module):
                         use_pallas=cfg.use_pallas_coupling,
                         ref_compat_group_slice=cfg.ref_compat_group_slice,
                         fuse_dilated_conv=cfg.fuse_dilated_conv,
+                        dense_masked_groups=cfg.dense_masked_groups,
                         dtype=compute_dtype,
                         keep_compute_dtype=cfg.flow_in_compute_dtype,
                     )

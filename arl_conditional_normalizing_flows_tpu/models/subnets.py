@@ -84,7 +84,7 @@ class DenseCouplingNet(nn.Module):
 
 
 def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
-                  ref_compat=False):
+                  ref_compat=False, dense_masked=False, init_scale=0.1):
     """Reference grouped_convolution (conv_cINN_base_functions.py:364-411).
 
     Intended semantics (and our default): read the first ``nb_channels``
@@ -118,6 +118,11 @@ def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
     else:
         y = y[..., :nb_channels]
         groups = cardinality
+    if dense_masked and not ref_compat and groups > 1:
+        return DenseMaskedGroupConv(
+            nb_channels=nb_channels, ksize=ksize, dilation=dilation,
+            cardinality=cardinality, init_scale=init_scale, dtype=dtype,
+        )(y)
     return nn.Conv(
         nb_channels,
         (ksize, ksize),
@@ -127,6 +132,51 @@ def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
         kernel_init=kinit,
         dtype=dtype,
     )(y)
+
+
+class DenseMaskedGroupConv(nn.Module):
+    """Grouped convolution lowered as ONE dense conv with a block-diagonal
+    kernel (a TPU lowering experiment, not a new function class).
+
+    The parameter has the grouped-conv kernel shape ``(k, k, cin/groups,
+    cout)`` with the same orthogonal init, and is expanded to a
+    block-diagonal dense ``(k, k, cin, cout)`` kernel at apply time — so the
+    math, init distribution, and parameter SHAPES are identical to the
+    ``feature_group_count`` path; only the XLA lowering differs. With 8-32
+    channel groups the grouped lowering pads each operand to the 128-wide
+    MXU lanes (16x waste); a 64-channel dense conv wastes only 2x, so the
+    8x nominal-FLOP overhead of the zero blocks can still net out faster.
+    """
+
+    nb_channels: int
+    ksize: int
+    dilation: int
+    cardinality: int
+    init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        import jax.lax as lax
+
+        k, nb, card = self.ksize, self.nb_channels, self.cardinality
+        d = nb // card
+        kernel = self.param("kernel", orthogonal_init(self.init_scale), (k, k, d, nb))
+        bias = self.param("bias", nn.initializers.zeros, (nb,))
+        dense = jnp.zeros((k, k, nb, nb), kernel.dtype)
+        for g in range(card):
+            dense = dense.at[:, :, g * d : (g + 1) * d, g * d : (g + 1) * d].set(
+                kernel[:, :, :, g * d : (g + 1) * d]
+            )
+        out = lax.conv_general_dilated(
+            y.astype(self.dtype),
+            dense.astype(self.dtype),
+            (1, 1),
+            "SAME",
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(out.dtype)
 
 
 def _dilated_branch_mask(ksize, dilations, cardinality, nb_channels):
@@ -181,6 +231,7 @@ class DilatedResidualBlock(nn.Module):
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
+    dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,6 +278,8 @@ class DilatedResidualBlock(nn.Module):
                     kinit,
                     self.dtype,
                     ref_compat=self.ref_compat_group_slice,
+                    dense_masked=self.dense_masked_groups,
+                    init_scale=self.init_scale,
                 )
                 for d in self.dilations
             ]
@@ -261,6 +314,7 @@ class ConvCouplingNet(nn.Module):
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
+    dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
     # keep the head (tanh + scale) in ``dtype`` instead of casting to f32 —
     # the flow_in_compute_dtype perf mode (models/arch.py)
@@ -284,6 +338,7 @@ class ConvCouplingNet(nn.Module):
                 init_scale=self.init_scale,
                 ref_compat_group_slice=self.ref_compat_group_slice,
                 fuse_dilated_conv=self.fuse_dilated_conv,
+                dense_masked_groups=self.dense_masked_groups,
                 dtype=self.dtype,
             )(y)
         y = leaky_relu(y)

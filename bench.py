@@ -73,6 +73,9 @@ def main():
         # fused Pallas coupling law — measured ~6% slower than XLA's own
         # fusion at flagship sizes (docs/PERF_NOTES.md); opt-in for A/Bs
         use_pallas_coupling=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # grouped convs lowered as block-diagonal dense convs (lane-fill
+        # experiment, models.subnets.DenseMaskedGroupConv)
+        dense_masked_groups=os.environ.get("BENCH_DENSE_GROUPS", "0") == "1",
         **arch,
     )
     model = ConvCFlow(cfg)

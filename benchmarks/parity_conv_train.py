@@ -431,9 +431,11 @@ def main():
     if which in ("image_flagship",):
         # the reference driver's FLAGSHIP arch (conv_cINN.py:56-65,88,94):
         # 28x28, [0,1,0,0]/[3,3,3,3]/[64,64,32,32]/[8,8,4,4], LN, batch 32
+        # num_per_class=64 -> 4 class-pure batches/epoch: the reference side
+        # costs ~45 s per flagship CPU step, so the epoch budget is the knob
         out["image_flagship"] = run_image_parity(
-            epochs, size=28, batch=32, layer_norm=True,
-            anneal=min(100, max(10, epochs // 6)),
+            epochs, size=28, batch=32, layer_norm=True, num_per_class=64,
+            anneal=min(100, max(4, epochs // 6)),
             arch=((0, 1, 0, 0), (3, 3, 3, 3), (64, 64, 32, 32), (8, 8, 4, 4)),
         )
         print(json.dumps(out["image_flagship"], indent=2), flush=True)

@@ -359,3 +359,54 @@ def test_fused_dilated_conv_model_roundtrip(rng):
     zy, _ = model.apply(params, xy)
     back = model.apply(params, zy, method="inverse")
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_dense_masked_group_conv_equivalence(rng):
+    """The block-diagonal dense lowering computes exactly the grouped conv:
+    the grouped kernels transplant 1:1 (same parameter shapes) and outputs
+    match."""
+    from arl_conditional_normalizing_flows_tpu.models.subnets import (
+        DilatedResidualBlock,
+    )
+
+    nb, card, ksize, dils = 8, 2, 3, (1, 2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, nb)).astype(np.float32))
+
+    grouped = DilatedResidualBlock(
+        nb_channels=nb, dilations=dils, ksize=ksize, cardinality=card,
+        layer_norm=False,
+    )
+    pg = grouped.init(jax.random.PRNGKey(0), x)
+
+    dense = DilatedResidualBlock(
+        nb_channels=nb, dilations=dils, ksize=ksize, cardinality=card,
+        layer_norm=False, dense_masked_groups=True,
+    )
+    pd = dense.init(jax.random.PRNGKey(1), x)
+
+    pdd = dict(pd["params"])
+    pgd = pg["params"]
+    pdd["Conv_0"] = pgd["Conv_0"]  # 1x1 in
+    pdd["Conv_1"] = pgd[f"Conv_{1 + len(dils)}"]  # 1x1 out
+    for bi in range(len(dils)):
+        # branch kernels have IDENTICAL shapes in both lowerings
+        pdd[f"DenseMaskedGroupConv_{bi}"] = pgd[f"Conv_{1 + bi}"]
+    out_g = grouped.apply(pg, x)
+    out_d = dense.apply({"params": pdd}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_g), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dense_masked_groups_model_roundtrip(rng):
+    cfg = ConvFlowConfig(
+        io_shape=(16, 16, 2), x_d=1,
+        squeeze_factor_blocks=(0, 1), res_blocks=(1, 1),
+        num_kernels=(16, 16), cardinality=(2, 2),
+        dense_masked_groups=True,
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
+    zy, _ = model.apply(params, xy)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)

@@ -40,6 +40,13 @@ def build_parser():
     p.add_argument("--plot", action="store_true")
     p.add_argument("--outdir", default=None, help="default: <checkpoint-dir>/..")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--export-sampler", default=None, metavar="PATH",
+                   help="also write an AOT StableHLO serving artifact of the "
+                   "conditional sampler (serve.export; params baked in, "
+                   "symbolic batch dim)")
+    p.add_argument("--export-platforms", nargs="*", default=None,
+                   help="lowering platforms for --export-sampler, e.g. tpu cpu "
+                   "(default: current backend)")
     return p
 
 
@@ -94,6 +101,35 @@ def main(argv=None):
     assert epoch is not None, f"no checkpoint found in {args.checkpoint_dir}"
     mgr.close()
     print(f"restored epoch {epoch}")
+
+    if args.export_sampler:
+        from arl_conditional_normalizing_flows_tpu.serve import (
+            export_sampler,
+            make_image_serving_fn,
+            save_artifact,
+        )
+
+        de_logit = args.model_type == "class" and args.logits
+        residual = args.model_type != "class" and args.residual
+        fn = make_image_serving_fn(
+            model, state.params, cfg.x_d, de_logit=de_logit, residual=residual
+        )
+        exported = export_sampler(
+            fn,
+            [(h, w, cfg.x_d), (h, w, xy_d - cfg.x_d)],
+            platforms=args.export_platforms,
+        )
+        side = save_artifact(
+            args.export_sampler, exported,
+            metadata={
+                "arch": {k: list(v) if isinstance(v, tuple) else v
+                         for k, v in arch.items()},
+                "model_type": args.model_type, "epoch": int(epoch),
+                "de_logit": de_logit, "residual": residual,
+            },
+        )
+        print(f"exported serving artifact: {args.export_sampler} "
+              f"({side['nr_bytes']} bytes, platforms={side['platforms']})")
 
     _, eval_step = make_step_fns(model)
     metrics = MeanMetrics()

@@ -1,0 +1,17 @@
+"""Serving/deployment: AOT StableHLO export of the conditional sampler."""
+
+from arl_conditional_normalizing_flows_tpu.serve.export import (
+    export_sampler,
+    load_artifact,
+    make_image_serving_fn,
+    make_toy_serving_fn,
+    save_artifact,
+)
+
+__all__ = [
+    "export_sampler",
+    "load_artifact",
+    "make_image_serving_fn",
+    "make_toy_serving_fn",
+    "save_artifact",
+]

@@ -1,0 +1,121 @@
+"""AOT serving artifacts: export the conditional sampler to StableHLO.
+
+The reference has no deployment story at all — inference means loading Keras
+weights inside the training script and running the model in Python
+(TOYcINN.py:228-235, conv_cINN.py:572-579). For production serving on TPU we
+instead export the *sampling function* (inverse flow + post-processing) as a
+self-contained, versioned StableHLO artifact via ``jax.export``:
+
+- the trained parameters are baked into the artifact as constants — the
+  serving side needs no Python model code, no flax, no checkpoint format;
+- the PRNG stays host-side: the exported function takes the latent draw ``z``
+  (and the condition) as INPUTS, so the serving system controls determinism
+  and can replay/shard draws however it likes;
+- the batch dimension is exported SYMBOLICALLY (``jax.export.symbolic_shape``)
+  by default, so one artifact serves any batch size;
+- artifacts carry a JSON sidecar (shapes, dtypes, platforms, arch string)
+  and the StableHLO bytes are portable across machines and JAX versions
+  (within jax.export's compatibility guarantees).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from arl_conditional_normalizing_flows_tpu.ops import logit as logit_ops
+
+
+def make_image_serving_fn(
+    model,
+    params,
+    x_d: int,
+    *,
+    de_logit: bool = False,
+    residual: bool = False,
+    logit_a: float = 0.01,
+):
+    """``f(z, y) -> x`` for conv models: z (B,H,W,x_d) latent draw, y
+    (B,H,W,y_d) condition plane (class plane or upsampled low-res image);
+    returns x (B,H,W,x_d) after optional de-logit / SR-residual
+    reconstruction (the sample.sample_conditional_images post-processing)."""
+
+    def fn(z, y):
+        xy = model.apply(params, z, y, method="sample_xy")
+        x = xy[..., :x_d]
+        if de_logit:
+            x = logit_ops.de_logitify(x, logit_a)
+        if residual:
+            x = x + y[..., :x_d]
+        return x
+
+    return fn
+
+
+def make_toy_serving_fn(model, params, x_d: int):
+    """``f(z, y) -> xy`` for toy models: z (B, x_d), y (B, y_d)."""
+
+    def fn(z, y):
+        zy = jnp.concatenate([z, y], axis=-1)
+        return model.apply(params, zy, method="inverse")
+
+    return fn
+
+
+def export_sampler(
+    fn,
+    arg_shapes: Sequence[Tuple[int, ...]],
+    *,
+    symbolic_batch: bool = True,
+    dtype=jnp.float32,
+    platforms: Optional[Sequence[str]] = None,
+) -> jexport.Exported:
+    """Export ``fn(*args)`` with the given per-argument shapes.
+
+    ``arg_shapes`` EXCLUDE the batch dimension; a shared leading batch dim is
+    added to every argument — symbolic (any batch size at serving time) by
+    default, or fixed at 1 when ``symbolic_batch=False``.
+    ``platforms`` defaults to the current backend; pass e.g. ("tpu", "cpu")
+    to cross-compile one artifact for both.
+    """
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = 1
+    specs = [jax.ShapeDtypeStruct((b,) + tuple(s), dtype) for s in arg_shapes]
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(fn), **kwargs)(*specs)
+
+
+def save_artifact(path: str, exported: jexport.Exported, metadata: Optional[dict] = None):
+    """Write ``<path>`` (serialized StableHLO) + ``<path>.json`` sidecar."""
+    data = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    side = {
+        "format": "jax.export.Exported",
+        "fun_name": exported.fun_name,
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "calling_convention_version": exported.calling_convention_version,
+        "nr_bytes": len(data),
+    }
+    side.update(metadata or {})
+    with open(path + ".json", "w") as f:
+        json.dump(side, f, indent=2)
+    return side
+
+
+def load_artifact(path: str) -> jexport.Exported:
+    """Load a serialized artifact; invoke it with ``loaded.call(*args)``."""
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))

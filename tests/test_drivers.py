@@ -270,6 +270,7 @@ def test_cnf_eval_on_checkpoint(tmp_path):
             "--outdir", out,
         ]
     )
+    artifact = str(tmp_path / "sampler.shlo")
     report = evaluate.main(
         [
             "--checkpoint-dir", os.path.join(out, "checkpoints"),
@@ -278,10 +279,20 @@ def test_cnf_eval_on_checkpoint(tmp_path):
             "--data-classes", "0", "1",
             "--batch-size", "16",
             "--eval-samples", "8",
+            "--export-sampler", artifact,
         ]
     )
     assert np.isfinite(report["bits_per_dim"])
     assert "latent_normality" in report and "sampling" in report
+
+    # the exported serving artifact loads and samples (symbolic batch)
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.serve import load_artifact
+
+    loaded = load_artifact(artifact)
+    x = loaded.call(jnp.zeros((3, 28, 28, 1)), jnp.full((3, 28, 28, 1), 0.5))
+    assert x.shape == (3, 28, 28, 1) and np.isfinite(np.asarray(x)).all()
 
 
 def test_conv_driver_data_parallel(tmp_path):

@@ -1,0 +1,111 @@
+"""AOT export (serving artifact) tests: exported StableHLO must reproduce the
+live model to float32 ULP noise (the AOT pipeline fuses slightly
+differently), survive a serialize/deserialize round-trip, and serve any batch
+size via the symbolic batch dimension."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arl_conditional_normalizing_flows_tpu.models import (
+    ConvCFlow,
+    ConvFlowConfig,
+    ToyCINN,
+    ToyConfig,
+)
+from arl_conditional_normalizing_flows_tpu.serve import (
+    export_sampler,
+    load_artifact,
+    make_image_serving_fn,
+    make_toy_serving_fn,
+    save_artifact,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _toy():
+    cfg = ToyConfig(num_coupling_layers=4, intermediate_dims=8, num_layers=1)
+    model = ToyCINN(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    return model, params, cfg
+
+
+def _conv():
+    cfg = ConvFlowConfig(
+        io_shape=(8, 8, 2), x_d=1, squeeze_factor_blocks=(0, 1),
+        res_blocks=(1, 1), num_kernels=(8, 8), cardinality=(2, 2), ksize=3,
+    )
+    model = ConvCFlow(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 2)))
+    return model, params, cfg
+
+
+def test_toy_export_matches_live_model(rng, tmp_path):
+    model, params, _ = _toy()
+    fn = make_toy_serving_fn(model, params, x_d=2)
+    exported = export_sampler(fn, [(2,), (1,)])
+
+    z = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(16, 1)).astype(np.float32))
+    live = fn(z, y)
+    aot = exported.call(z, y)
+    np.testing.assert_allclose(np.asarray(aot), np.asarray(live), rtol=1e-6, atol=1e-6)
+
+    # round-trip through disk
+    path = os.path.join(tmp_path, "toy_sampler.shlo")
+    side = save_artifact(path, exported, metadata={"kind": "toy"})
+    assert side["nr_bytes"] > 0 and os.path.exists(path + ".json")
+    loaded = load_artifact(path)
+    np.testing.assert_allclose(np.asarray(loaded.call(z, y)), np.asarray(live), rtol=1e-6, atol=1e-6)
+
+
+def test_toy_export_symbolic_batch_serves_any_size(rng):
+    model, params, _ = _toy()
+    fn = make_toy_serving_fn(model, params, x_d=2)
+    exported = export_sampler(fn, [(2,), (1,)])
+    for b in (1, 5, 32):
+        z = jnp.asarray(rng.normal(size=(b, 2)).astype(np.float32))
+        y = jnp.zeros((b, 1), jnp.float32)
+        out = exported.call(z, y)
+        assert out.shape == (b, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(fn(z, y)), rtol=1e-6, atol=1e-6)
+
+
+def test_conv_export_matches_live_model(rng, tmp_path):
+    model, params, cfg = _conv()
+    fn = make_image_serving_fn(model, params, cfg.x_d, de_logit=True)
+    h, w, _ = cfg.io_shape
+    exported = export_sampler(fn, [(h, w, 1), (h, w, 1)])
+
+    z = jnp.asarray(rng.normal(size=(4, h, w, 1)).astype(np.float32))
+    y = jnp.full((4, h, w, 1), 0.5, jnp.float32)
+    live = fn(z, y)
+    aot = exported.call(z, y)
+    np.testing.assert_allclose(np.asarray(aot), np.asarray(live), rtol=1e-6, atol=1e-6)
+
+    path = os.path.join(tmp_path, "conv_sampler.shlo")
+    save_artifact(path, exported)
+    loaded = load_artifact(path)
+    out2 = loaded.call(jnp.concatenate([z, z]), jnp.concatenate([y, y]))
+    assert out2.shape == (8, h, w, 1)  # symbolic batch
+    np.testing.assert_allclose(np.asarray(out2[:4]), np.asarray(live), rtol=1e-6, atol=1e-6)
+
+
+def test_conv_export_residual_reconstruction(rng):
+    model, params, cfg = _conv()
+    fn = make_image_serving_fn(model, params, cfg.x_d, residual=True)
+    h, w, _ = cfg.io_shape
+    exported = export_sampler(fn, [(h, w, 1), (h, w, 1)], symbolic_batch=False)
+    z = jnp.asarray(rng.normal(size=(1, h, w, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, h, w, 1)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(exported.call(z, y)), np.asarray(fn(z, y)),
+        rtol=1e-6, atol=1e-6,
+    )

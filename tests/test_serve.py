@@ -109,3 +109,21 @@ def test_conv_export_residual_reconstruction(rng):
         np.asarray(exported.call(z, y)), np.asarray(fn(z, y)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_multi_platform_export_from_cpu(rng, tmp_path):
+    """One artifact lowered for BOTH tpu and cpu, produced without a TPU
+    attached (cross-platform lowering), still callable on the cpu backend."""
+    model, params, cfg = _conv()
+    fn = make_image_serving_fn(model, params, cfg.x_d)
+    h, w, _ = cfg.io_shape
+    exported = export_sampler(fn, [(h, w, 1), (h, w, 1)], platforms=("tpu", "cpu"))
+    assert exported.platforms == ("tpu", "cpu")
+    path = os.path.join(tmp_path, "mp.shlo")
+    save_artifact(path, exported)
+    loaded = load_artifact(path)
+    z = jnp.asarray(rng.normal(size=(2, h, w, 1)).astype(np.float32))
+    y = jnp.zeros((2, h, w, 1), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(z, y)), np.asarray(fn(z, y)), rtol=1e-6, atol=1e-6
+    )

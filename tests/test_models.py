@@ -410,3 +410,45 @@ def test_dense_masked_groups_model_roundtrip(rng):
     zy, _ = model.apply(params, xy)
     back = model.apply(params, zy, method="inverse")
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_config_fuzz_roundtrip(rng):
+    """Property fuzz over the valid architecture space: random block counts,
+    squeeze/factor patterns, widths, cardinalities, and io shapes must all
+    build bijective models (round-trip exact, finite per-sample log-det)."""
+    import random as pyrandom
+
+    r = pyrandom.Random(1234)
+    tried = 0
+    for _ in range(32):
+        if tried >= 6:
+            break
+        nb = r.choice([1, 2, 3])
+        side = r.choice([8, 12, 16])
+        sf = tuple(r.choice([0, 1]) for _ in range(nb))
+        # spatial dims must survive the squeezes (halved per squeeze block)
+        if side % (2 ** (sum(sf) + 1)):
+            continue
+        ks = tuple(r.choice([4, 8, 16]) for _ in range(nb))
+        card = tuple(r.choice([2, 4]) for _ in range(nb))
+        if any(k % c for k, c in zip(ks, card)):
+            continue
+        xy_d = r.choice([2, 3])
+        cfg = ConvFlowConfig(
+            io_shape=(side, side, xy_d), x_d=1,
+            squeeze_factor_blocks=sf, res_blocks=tuple([1] * nb),
+            num_kernels=ks, cardinality=card, ksize=3,
+            layer_norm=r.choice([False, True]),
+        )
+        try:
+            model, params = init_conv(cfg)
+        except AssertionError:
+            continue  # invalid combo rejected by config validation — fine
+        tried += 1
+        xy = jnp.asarray(rng.normal(size=(2, side, side, xy_d)).astype(np.float32))
+        zy, logdet = model.apply(params, xy)
+        assert zy.shape == xy.shape
+        assert np.isfinite(np.asarray(logdet)).all()
+        back = model.apply(params, zy, method="inverse")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)
+    assert tried >= 4, f"fuzz only exercised {tried} configs"

@@ -79,8 +79,8 @@ def main(argv=None):
     # architecture comes from the checkpoint's own metadata
     arch_path = os.path.join(args.checkpoint_dir, "arch.json")
     with open(arch_path) as f:
-        arch = json.load(f)
-    arch = {k: tuple(v) if isinstance(v, list) else v for k, v in arch.items()}
+        raw_arch = json.load(f)
+    arch = {k: tuple(v) if isinstance(v, list) else v for k, v in raw_arch.items()}
     cfg = ConvFlowConfig(**arch)
     model = ConvCFlow(cfg)
 
@@ -122,8 +122,7 @@ def main(argv=None):
         side = save_artifact(
             args.export_sampler, exported,
             metadata={
-                "arch": {k: list(v) if isinstance(v, tuple) else v
-                         for k, v in arch.items()},
+                "arch": raw_arch,
                 "model_type": args.model_type, "epoch": int(epoch),
                 "de_logit": de_logit, "residual": residual,
             },

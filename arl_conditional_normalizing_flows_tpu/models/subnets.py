@@ -84,7 +84,7 @@ class DenseCouplingNet(nn.Module):
 
 
 def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
-                  ref_compat=False, dense_masked=False, init_scale=0.1):
+                  ref_compat=False, dense_masked=False):
     """Reference grouped_convolution (conv_cINN_base_functions.py:364-411).
 
     Intended semantics (and our default): read the first ``nb_channels``
@@ -121,7 +121,7 @@ def _grouped_conv(y, nb_channels, ksize, dilation, cardinality, kinit, dtype,
     if dense_masked and not ref_compat and groups > 1:
         return DenseMaskedGroupConv(
             nb_channels=nb_channels, ksize=ksize, dilation=dilation,
-            cardinality=cardinality, init_scale=init_scale, dtype=dtype,
+            cardinality=cardinality, kernel_init=kinit, dtype=dtype,
         )(y)
     return nn.Conv(
         nb_channels,
@@ -152,7 +152,7 @@ class DenseMaskedGroupConv(nn.Module):
     ksize: int
     dilation: int
     cardinality: int
-    init_scale: float = 0.1
+    kernel_init: nn.initializers.Initializer = orthogonal_init(0.1)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,7 +161,7 @@ class DenseMaskedGroupConv(nn.Module):
 
         k, nb, card = self.ksize, self.nb_channels, self.cardinality
         d = nb // card
-        kernel = self.param("kernel", orthogonal_init(self.init_scale), (k, k, d, nb))
+        kernel = self.param("kernel", self.kernel_init, (k, k, d, nb))
         bias = self.param("bias", nn.initializers.zeros, (nb,))
         dense = jnp.zeros((k, k, nb, nb), kernel.dtype)
         for g in range(card):
@@ -279,7 +279,6 @@ class DilatedResidualBlock(nn.Module):
                     self.dtype,
                     ref_compat=self.ref_compat_group_slice,
                     dense_masked=self.dense_masked_groups,
-                    init_scale=self.init_scale,
                 )
                 for d in self.dilations
             ]

@@ -48,10 +48,13 @@ def make_image_serving_fn(
     def fn(z, y):
         xy = model.apply(params, z, y, method="sample_xy")
         x = xy[..., :x_d]
+        y_out = xy[..., x_d:]
         if de_logit:
             x = logit_ops.de_logitify(x, logit_a)
         if residual:
-            x = x + y[..., :x_d]
+            # same fallback as sample.sample_conditional_images: when the
+            # condition plane is narrower than x, add the model's mapped y
+            x = x + y[..., :x_d] if y.shape[-1] >= x_d else x + y_out
         return x
 
     return fn
@@ -61,6 +64,7 @@ def make_toy_serving_fn(model, params, x_d: int):
     """``f(z, y) -> xy`` for toy models: z (B, x_d), y (B, y_d)."""
 
     def fn(z, y):
+        assert z.shape[-1] == x_d, (z.shape, x_d)
         zy = jnp.concatenate([z, y], axis=-1)
         return model.apply(params, zy, method="inverse")
 
@@ -108,8 +112,10 @@ def save_artifact(path: str, exported: jexport.Exported, metadata: Optional[dict
         "out_avals": [str(a) for a in exported.out_avals],
         "calling_convention_version": exported.calling_convention_version,
         "nr_bytes": len(data),
+        # caller metadata is nested so it can never clobber the ground-truth
+        # fields derived from the Exported object above
+        "metadata": dict(metadata or {}),
     }
-    side.update(metadata or {})
     with open(path + ".json", "w") as f:
         json.dump(side, f, indent=2)
     return side

@@ -195,6 +195,94 @@ def read_reference_tfrecords(path: str, verify: bool = False):
     return np.stack(imgs), np.stack(labels)
 
 
+# ---------------------------------------------------------------------------
+# reference-format dataset WRITING (byte-compatible with tf.io.TFRecordWriter
+# + tf.train.Example — lets datasets built here feed the original codebase)
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_delimited(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _bytes_feature(value: bytes) -> bytes:
+    """Feature{1: BytesList{1: value}}."""
+    return _len_delimited(1, _len_delimited(1, value))
+
+
+def _int64_feature(value: int) -> bytes:
+    """Feature{3: Int64List{1: varint}}."""
+    return _len_delimited(3, _varint((1 << 3) | 0) + _varint(value))
+
+
+def encode_example(features: Dict[str, bytes]) -> bytes:
+    """tf.train.Example{1: Features{1: map<string, Feature>}} from
+    already-encoded Feature payloads."""
+    entries = b"".join(
+        _len_delimited(1, _len_delimited(1, name.encode()) + _len_delimited(2, feat))
+        for name, feat in features.items()
+    )
+    return _len_delimited(1, entries)
+
+
+def write_tfrecord_frames(path: str, frames) -> int:
+    """Write records with TFRecord framing (length + masked CRCs)."""
+    n = 0
+    with open(path, "wb") as f:
+        for data in frames:
+            header = struct.pack("<Q", len(data))
+            f.write(header)
+            f.write(struct.pack("<I", masked_crc32c(header)))
+            f.write(data)
+            f.write(struct.pack("<I", masked_crc32c(data)))
+            n += 1
+    return n
+
+
+def write_reference_tfrecords(path: str, images: np.ndarray, labels: np.ndarray) -> int:
+    """Write images/one-hot labels in the reference's exact TFRecord schema
+    (create_tfrecords.py:197-250: raw-float32 ``img``/``label`` bytes plus
+    int64 ``height``/``width``/``depth``), so files produced here are
+    readable by the unmodified reference pipeline (its ``_parse_example``,
+    conv_cINN_base_functions.py:26-65).
+
+    Args:
+        images: (N, H, W, D) float32 in [0, 1].
+        labels: (N, num_classes) float32 one-hot.
+    Returns the number of records written.
+    """
+    images = np.ascontiguousarray(images, np.float32)
+    labels = np.ascontiguousarray(labels, np.float32)
+    assert images.ndim == 4 and len(images) == len(labels), (images.shape, labels.shape)
+    _, h, w, d = images.shape
+
+    def frames():
+        for img, lab in zip(images, labels):
+            yield encode_example(
+                {
+                    "img": _bytes_feature(img.tobytes()),
+                    "height": _int64_feature(h),
+                    "width": _int64_feature(w),
+                    "depth": _int64_feature(d),
+                    "label": _bytes_feature(lab.tobytes()),
+                }
+            )
+
+    return write_tfrecord_frames(path, frames())
+
+
 def convert_to_cnfrec(tfrecord_path: str, out_path: str, verify: bool = True):
     """Convert a reference TFRecord file to the native .cnfrec format."""
     from arl_conditional_normalizing_flows_tpu.data import records

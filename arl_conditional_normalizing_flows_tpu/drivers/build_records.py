@@ -25,6 +25,11 @@ def build_parser():
     p.add_argument("--plot", action="store_true",
                    help="write a decoded-image verification grid per file "
                    "(the reference's visual verify, create_tfrecords.py:366-400)")
+    p.add_argument("--tfrecords", action="store_true",
+                   help="ALSO write reference-format .tfrecords files "
+                   "(byte-compatible with create_tfrecords.py output, incl. "
+                   "its naming scheme) so the data can feed the original "
+                   "TF codebase")
     return p
 
 
@@ -49,6 +54,9 @@ def main(argv=None):
         written += write_class_sorted_dataset(
             args.outdir, split, x, y, args.which_classes, args.combined
         )
+        if args.tfrecords:
+            tf_written = _write_reference_tfrecords(args, split, x, y)
+            print(f"wrote reference-format files: {tf_written}")
     print(f"wrote {len(written)} files to {args.outdir}")
     if args.verify:
         report = verify_records(written)
@@ -63,6 +71,41 @@ def main(argv=None):
                 arr[:8], path + ".png", ncols=8, title=path.rsplit("/", 1)[-1]
             )
     return written
+
+
+def _write_reference_tfrecords(args, split, x, y):
+    """Reference-format sidecar output: byte-compatible .tfrecords with the
+    reference's naming scheme (create_tfrecords.py:307-309,360-364 —
+    ``x_{train|val}_{dataset}_c<classes>.tfrecords``; one combined file or
+    one per class) and 10-wide one-hot labels (create_tfrecords.py:330-334)."""
+    import os
+
+    import numpy as np
+
+    from arl_conditional_normalizing_flows_tpu.data.tfrecord_compat import (
+        write_reference_tfrecords,
+    )
+
+    split_name = "train" if split == "train" else "val"
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y).astype(int)
+    onehot_width = max(10, int(max(args.which_classes)) + 1)
+    groups = [list(args.which_classes)] if args.combined else [
+        [c] for c in args.which_classes
+    ]
+    paths = []
+    for group in groups:
+        cs = "".join(str(c) for c in group)
+        sel = np.isin(y, group)
+        imgs, ys = x[sel], y[sel]
+        onehot = np.zeros((len(imgs), onehot_width), np.float32)
+        onehot[np.arange(len(imgs)), ys] = 1.0
+        path = os.path.join(
+            args.outdir, f"x_{split_name}_{args.dataset}_c{cs}.tfrecords"
+        )
+        write_reference_tfrecords(path, imgs, onehot)
+        paths.append(path)
+    return paths
 
 
 def cli():

@@ -320,3 +320,21 @@ def test_conv_driver_data_parallel(tmp_path):
     with open(os.path.join(out, "eval.json")) as f:
         final = json.load(f)
     assert np.isfinite(final["loss"])
+
+
+def test_build_records_tfrecords_sidecar(tmp_path):
+    """--tfrecords writes reference-format files our reader round-trips."""
+    from arl_conditional_normalizing_flows_tpu.data import tfrecord_compat as tfc
+    from arl_conditional_normalizing_flows_tpu.drivers import build_records
+
+    out = str(tmp_path / "recs")
+    build_records.main(
+        ["--dataset", "synthetic", "--which-classes", "0", "1",
+         "--outdir", out, "--no-verify", "--tfrecords"]
+    )
+    path = os.path.join(out, "x_train_synthetic_c0.tfrecords")
+    assert os.path.exists(path)
+    imgs, labels = tfc.read_reference_tfrecords(path, verify=True)
+    assert imgs.shape[1:] == (28, 28, 1) and labels.shape[1] == 10
+    assert (labels[:, 0] == 1).all()  # class-0 file: one-hot index 0
+    assert os.path.exists(os.path.join(out, "x_val_synthetic_c1.tfrecords"))

@@ -62,3 +62,45 @@ def test_convert_to_cnfrec(ref_tfrecord, tmp_path):
     back = records.read_records(out, verify=True)
     np.testing.assert_array_equal(np.asarray(back), imgs)
     assert records.read_header(out)["label"] == 2
+
+
+def test_write_reference_tfrecords_roundtrip(tmp_path):
+    """Our TF-free writer -> our CRC-verifying reader."""
+    rng = np.random.default_rng(3)
+    imgs = rng.random((5, 4, 4, 2), np.float32)
+    lab = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 5)]
+    path = str(tmp_path / "w.tfrecords")
+    n = tfc.write_reference_tfrecords(path, imgs, lab)
+    assert n == 5
+    rimgs, rlab = tfc.read_reference_tfrecords(path, verify=True)
+    np.testing.assert_array_equal(rimgs, imgs)
+    np.testing.assert_array_equal(rlab, lab)
+
+
+def test_written_tfrecords_readable_by_tensorflow(tmp_path):
+    """Files produced by the TF-free writer parse through the REAL
+    tf.data.TFRecordDataset pipeline exactly as the reference's
+    _parse_example (conv_cINN_base_functions.py:26-65) expects."""
+    rng = np.random.default_rng(4)
+    imgs = rng.random((4, 6, 6, 1), np.float32)
+    lab = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4)]
+    path = str(tmp_path / "interop.tfrecords")
+    tfc.write_reference_tfrecords(path, imgs, lab)
+
+    feature_desc = {
+        "img": tf.io.FixedLenFeature([], tf.string),
+        "height": tf.io.FixedLenFeature([], tf.int64),
+        "width": tf.io.FixedLenFeature([], tf.int64),
+        "depth": tf.io.FixedLenFeature([], tf.int64),
+        "label": tf.io.FixedLenFeature([], tf.string),
+    }
+    got = []
+    for raw in tf.data.TFRecordDataset(path):
+        ex = tf.io.parse_single_example(raw, feature_desc)
+        img = tf.reshape(
+            tf.io.decode_raw(ex["img"], tf.float32),
+            (ex["height"], ex["width"], ex["depth"]),
+        )
+        got.append((img.numpy(), tf.io.decode_raw(ex["label"], tf.float32).numpy()))
+    np.testing.assert_array_equal(np.stack([g[0] for g in got]), imgs)
+    np.testing.assert_array_equal(np.stack([g[1] for g in got]), lab)

@@ -60,6 +60,12 @@ class ConvFlowConfig:
     # grouped 8-channel operands pad 16x to the 128-wide MXU, dense 64-channel
     # operands only 2x. No effect when ref_compat_group_slice is set.
     dense_masked_groups: bool = False
+    # Execute each coupling subnet's ENTIRE conv chain as one Pallas program
+    # per batch tile with activations VMEM-resident (ops.pallas.fused_subnet)
+    # instead of ~17 HBM-round-tripping XLA convs. Identical math and
+    # parameter shapes (leaf names differ: models.subnets.fused_params_from_
+    # flax). Requires layer_norm off and the default grouped-conv semantics.
+    fused_pallas_subnet: bool = False
     # Keep ALL flow activations (inter-layer tensors, mask moves, coupling
     # law) in compute_dtype instead of converting each coupling's head and
     # law back to float32. Log-det and loss reductions still accumulate in
@@ -82,6 +88,17 @@ class ConvFlowConfig:
                 "kernels and cardinality must be even (conv_cINN_make_model.py:1472-1479)"
             )
         assert all(s in (0, 1) for s in self.squeeze_factor_blocks)
+        if self.fused_pallas_subnet:
+            assert not self.layer_norm, (
+                "fused_pallas_subnet does not implement layer_norm — use the "
+                "flax subnet path"
+            )
+            assert not (
+                self.ref_compat_group_slice
+                or self.fuse_dilated_conv
+                or self.dense_masked_groups
+                or self.flow_in_compute_dtype
+            ), "fused_pallas_subnet supports only the default subnet semantics"
 
 
 def perf_arch_config(io_shape=(28, 28, 2), x_d=1, **overrides) -> ConvFlowConfig:

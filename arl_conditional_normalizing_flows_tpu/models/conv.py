@@ -59,6 +59,7 @@ class ConvCouplingLayer(nn.Module):
     layer_norm: bool
     fused_subnet: bool = False
     use_pallas: bool = False
+    fused_pallas_subnet: bool = False
     ref_compat_group_slice: bool = False
     fuse_dilated_conv: bool = False
     dense_masked_groups: bool = False
@@ -90,7 +91,30 @@ class ConvCouplingLayer(nn.Module):
             dtype=self.dtype,
             keep_compute_dtype=self.keep_compute_dtype,
         )
-        if self.fused_subnet:
+        if self.fused_pallas_subnet:
+            from arl_conditional_normalizing_flows_tpu.models.subnets import (
+                PallasFusedCouplingNet,
+            )
+
+            fused_common = dict(
+                out_channels=uv2_d,
+                num_kernels=kernels,
+                num_res_blocks=self.num_res_blocks,
+                cardinality=self.cardinality,
+                ksize=self.ksize,
+                dilations=self.dilations,
+                dtype=self.dtype,
+            )
+            if self.fused_subnet:
+                self.net_ab = PallasFusedCouplingNet(n_heads=2, **fused_common)
+            else:
+                self.net_a = PallasFusedCouplingNet(
+                    scale_head=True, **fused_common
+                )
+                self.net_b = PallasFusedCouplingNet(
+                    scale_head=False, **fused_common
+                )
+        elif self.fused_subnet:
             self.net_ab = ConvCouplingNet(n_heads=2, **common)
         else:
             self.net_a = ConvCouplingNet(scale_head=True, **common)
@@ -167,6 +191,7 @@ class ConvCFlow(nn.Module):
                         layer_norm=cfg.layer_norm,
                         fused_subnet=cfg.fused_subnet,
                         use_pallas=cfg.use_pallas_coupling,
+                        fused_pallas_subnet=cfg.fused_pallas_subnet,
                         ref_compat_group_slice=cfg.ref_compat_group_slice,
                         fuse_dilated_conv=cfg.fuse_dilated_conv,
                         dense_masked_groups=cfg.dense_masked_groups,

@@ -362,3 +362,94 @@ class ConvCouplingNet(nn.Module):
         assert self.n_heads == 2
         a, b = jnp.split(head, 2, axis=-1)
         return scale_transform(a), b
+
+
+class PallasFusedCouplingNet(nn.Module):
+    """Drop-in ``ConvCouplingNet`` whose whole conv chain executes as ONE
+    Pallas program per batch tile with every activation VMEM-resident
+    (ops.pallas.fused_subnet — the HBM-traffic eliminator for the
+    hundreds-of-small-convs architecture, docs/PERF_NOTES.md).
+
+    Parameter LEAF SHAPES and initializers are identical to ConvCouplingNet;
+    leaf names are the flax paths flattened with '.' (see
+    ``fused_params_from_flax`` for checkpoint transfer). Restrictions vs the
+    flax path: no layer_norm, no ref_compat/fuse/dense-masked modes.
+    """
+
+    out_channels: int
+    num_kernels: int
+    num_res_blocks: int
+    cardinality: int
+    ksize: int
+    dilations: Tuple[int, ...]
+    scale_head: bool = False
+    n_heads: int = 1
+    init_scale: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    interpret: bool = False  # CPU kernel testing
+
+    def _spec(self, h, w, cin):
+        from arl_conditional_normalizing_flows_tpu.ops.pallas.fused_subnet import (
+            SubnetSpec,
+        )
+
+        return SubnetSpec(
+            h=h, w=w, cin=cin,
+            kernels=self.num_kernels,
+            res_blocks=self.num_res_blocks,
+            cardinality=self.cardinality,
+            ksize=self.ksize,
+            dilations=tuple(self.dilations),
+            out_total=self.out_channels * self.n_heads,
+            compute_dtype=jnp.dtype(self.dtype).name,
+        )
+
+    @nn.compact
+    def __call__(self, u1):
+        from arl_conditional_normalizing_flows_tpu.ops.pallas.fused_subnet import (
+            flax_param_order,
+            make_subnet_fn,
+        )
+
+        *lead, h, w, cin = u1.shape
+        spec = self._spec(h, w, cin)
+        kinit = orthogonal_init(self.init_scale)
+        flat = []
+        for name, shape in flax_param_order(spec):
+            pname = name.replace("/", ".")
+            if name.endswith("kernel"):
+                flat.append(self.param(pname, kinit, shape))
+            else:
+                flat.append(self.param(pname, nn.initializers.zeros, shape))
+
+        x = u1.reshape((-1, h, w, cin)).astype(jnp.float32)
+        fn = make_subnet_fn(spec, interpret=self.interpret)
+        head = fn(x, flat)
+        head = head.reshape((*lead, h, w, spec.out_total))
+
+        def scale_transform(a):
+            s = self.param("tanh_scale", nn.initializers.ones, ())
+            return jnp.tanh(a) * s.astype(a.dtype)
+
+        if self.n_heads == 1:
+            return scale_transform(head) if self.scale_head else head
+        assert self.n_heads == 2
+        a, b = jnp.split(head, 2, axis=-1)
+        return scale_transform(a), b
+
+
+def fused_params_from_flax(tree):
+    """ConvCouplingNet param tree -> PallasFusedCouplingNet param tree
+    (pure leaf renaming: nested flax paths joined with '.')."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(tree)
+    return {".".join(k): v for k, v in flat.items()}
+
+
+def flax_params_from_fused(tree):
+    """Inverse of :func:`fused_params_from_flax`."""
+    import flax
+
+    flat = {tuple(k.split(".")): v for k, v in tree.items()}
+    return flax.traverse_util.unflatten_dict(flat)

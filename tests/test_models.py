@@ -452,3 +452,44 @@ def test_config_fuzz_roundtrip(rng):
         back = model.apply(params, zy, method="inverse")
         np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)
     assert tried >= 4, f"fuzz only exercised {tried} configs"
+
+
+def test_config_fuzz_roundtrip_fused_pallas(rng):
+    """Same property fuzz through the fused-Pallas subnet lowering
+    (ops.pallas.fused_subnet; jnp same-math path off-TPU): every valid
+    architecture must stay bijective under the alternative lowering too."""
+    import random as pyrandom
+
+    r = pyrandom.Random(4321)
+    tried = 0
+    for _ in range(32):
+        if tried >= 4:
+            break
+        nb = r.choice([1, 2])
+        side = r.choice([8, 16])
+        sf = tuple(r.choice([0, 1]) for _ in range(nb))
+        if side % (2 ** (sum(sf) + 1)):
+            continue
+        ks = tuple(r.choice([4, 8, 16]) for _ in range(nb))
+        card = tuple(r.choice([2, 4]) for _ in range(nb))
+        if any(k % c for k, c in zip(ks, card)):
+            continue
+        xy_d = r.choice([2, 3])
+        cfg = ConvFlowConfig(
+            io_shape=(side, side, xy_d), x_d=1,
+            squeeze_factor_blocks=sf, res_blocks=tuple([1] * nb),
+            num_kernels=ks, cardinality=card, ksize=3,
+            fused_subnet=r.choice([False, True]),
+            fused_pallas_subnet=True,
+        )
+        try:
+            model, params = init_conv(cfg)
+        except AssertionError:
+            continue
+        tried += 1
+        xy = jnp.asarray(rng.normal(size=(2, side, side, xy_d)).astype(np.float32))
+        zy, logdet = model.apply(params, xy)
+        assert np.isfinite(np.asarray(logdet)).all()
+        back = model.apply(params, zy, method="inverse")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)
+    assert tried >= 3, f"fuzz only exercised {tried} configs"

@@ -410,6 +410,165 @@ def run_image_sample_parity(epochs=80, seed=0, size=8, num_samples=4000):
     }
 
 
+def run_sr_sample_parity(epochs=80, seed=0, size=8, num_samples=4000,
+                         num_conditions=2):
+    """Conditional-sample MOMENT parity for a SUPER-RESOLUTION model — the SR
+    analogue of run_image_sample_parity: train the reference small conv cFlow
+    on 'SR2,1' residual pairs (x = hires - up(down(hires)), y = up(down(hires));
+    conv_cINN_base_functions.py:233-279, conv_cINN.py:44-45), transplant the
+    TRAINED weights into our ConvCFlow, then for ``num_conditions`` fixed
+    lowres conditions draw ``num_samples`` residuals through BOTH inverse
+    paths. Checks per-pixel sample moments (MC-SE units), the y-identity of
+    the reference inverse, and the reference's own built-in SR sanity
+    invariant: 2x2 blocks of the sampled residual sum to ~0."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tensorflow as tf
+
+    from parity_conv import _map_subnet
+    from reference_shim import import_conv_reference
+
+    cref = import_conv_reference()
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        SRSource,
+        synthetic_digits,
+    )
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.ops.resample import down, up
+    from arl_conditional_normalizing_flows_tpu.sample import (
+        sample_conditional_images,
+    )
+
+    imgs, _ = synthetic_digits(num_per_class=160, num_classes=2, size=size)
+    # hold out the last images as sampling conditions
+    src = SRSource(imgs[:-num_conditions], "SR2,1", BATCH, residual=True)
+    h, w, xy_d = src.xy_shape
+
+    # ---- train the reference on the SR stream ------------------------------
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = cref.cFlow(
+        io_shape=[h, w, xy_d], x_d=1, squeeze_factor_block_list=list(SF),
+        ResNeXt_block_list=list(NRB), num_kernels_list=list(NK),
+        cardinality_list=list(CARD), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=False,
+    )
+    opt = tf.keras.optimizers.Adam(LR)
+    var = []
+    for l in m.layers_list:
+        if isinstance(l, cref.coupling_layer):
+            var += l.model_A.trainable_variables + l.model_b.trainable_variables
+
+    @tf.function
+    def rstep(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss
+
+    key = jax.random.PRNGKey(seed + 7)
+    t0 = time.time()
+    final = None
+    for ep in range(epochs):
+        a = min(ep / 10.0, 1.0)  # annealing ramp (conv_cINN.py:589-628)
+        losses = []
+        for i, b in enumerate(src.epoch(jax.random.fold_in(key, ep), ep)):
+            b = np.asarray(b)
+            if a < 1.0:
+                eps = np.random.default_rng(ep * 1000 + i).normal(size=b.shape)
+                b = (a * b + (1 - a) * eps).astype(np.float32)
+            losses.append(float(rstep(tf.constant(b))))
+        final = float(np.mean(losses))
+    train_secs = time.time() - t0
+
+    # ---- transplant trained weights into our model --------------------------
+    cfg = ConvFlowConfig(
+        io_shape=(h, w, xy_d), x_d=1, squeeze_factor_blocks=SF, res_blocks=NRB,
+        num_kernels=NK, cardinality=CARD, ksize=3, ref_compat_group_slice=True,
+    )
+    ours = ConvCFlow(cfg)
+    params = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, xy_d)))
+    p = dict(params["params"])
+    ref_couplings = [
+        l for l in m.layers_list if isinstance(l, cref.coupling_layer)
+    ]
+    for j, rc in enumerate(ref_couplings):
+        layer = dict(p[f"couplings_{j}"])
+        dil = tuple(int(d) for d in rc.which_dilations)
+        layer["net_a"] = _map_subnet(
+            rc.model_A, layer["net_a"], rc.cardinality, dil, has_scale=True
+        )
+        layer["net_b"] = _map_subnet(
+            rc.model_b, layer["net_b"], rc.cardinality, dil, has_scale=False
+        )
+        p[f"couplings_{j}"] = layer
+    params = {"params": p}
+
+    # sanity: encode parity on one batch of real SR data
+    xy_check = np.asarray(next(iter(src.epoch(key, 0))))
+    zy_ref, _ = m.call(tf.constant(xy_check), 1)
+    zy_ours, _ = ours.apply(params, jnp.asarray(xy_check))
+    encode_diff = float(np.abs(np.asarray(zy_ref) - np.asarray(zy_ours)).max())
+
+    def block_sums(x):
+        # 2x2 blocks of the residual must sum to ~0 (conv_cINN.py:44-45)
+        n = x.shape[0]
+        return np.abs(
+            x.reshape(n, h // 2, 2, w // 2, 2).sum(axis=(2, 4))
+        ).mean()
+
+    per_condition = {}
+    for ci in range(num_conditions):
+        hires = np.asarray(imgs[len(imgs) - num_conditions + ci])
+        yplane = np.asarray(up(down(jnp.asarray(hires))), np.float32)  # (h,w,1)
+        rng = np.random.default_rng(1000 + ci)
+        z = rng.normal(size=(num_samples, h, w, 1)).astype(np.float32)
+        ystack = np.broadcast_to(yplane, (num_samples, h, w, 1))
+        xy_ref = np.asarray(
+            m.call(tf.constant(np.concatenate([z, ystack], -1)), -1)
+        )
+        x_ref, y_ref = xy_ref[..., 0], xy_ref[..., 1:]
+
+        x_ours = np.asarray(
+            sample_conditional_images(
+                ours, params, jax.random.PRNGKey(2000 + ci),
+                jnp.asarray(yplane), num_samples, x_d=1,
+            )
+        )[..., 0]
+
+        m_ref, m_ours = x_ref.mean(0), x_ours.mean(0)
+        s_ref, s_ours = x_ref.std(0), x_ours.std(0)
+        se = np.maximum(s_ref, s_ours) / np.sqrt(num_samples) + 1e-12
+        per_condition[f"condition_{ci}"] = {
+            "mean_abs_diff_max": float(np.abs(m_ref - m_ours).max()),
+            "mean_diff_in_se_units_max": float((np.abs(m_ref - m_ours) / se).max()),
+            "std_ratio_range": [
+                float((s_ours / (s_ref + 1e-12)).min()),
+                float((s_ours / (s_ref + 1e-12)).max()),
+            ],
+            "y_identity_ref_mean_abs_err": float(
+                np.abs(y_ref - yplane[None]).mean()
+            ),
+            "residual_block_sum_ref": float(block_sums(x_ref)),
+            "residual_block_sum_ours": float(block_sums(x_ours)),
+            "residual_rms": float(np.sqrt((x_ref ** 2).mean())),
+        }
+
+    return {
+        "task": f"SR2,1 residual {size}x{size} synthetic, fixed lowres conditions",
+        "epochs": epochs,
+        "num_samples_per_condition": num_samples,
+        "ref_final_loss": round(final, 3),
+        "ref_train_seconds": round(train_secs, 1),
+        "encode_max_abs_diff_after_training": encode_diff,
+        "per_condition": per_condition,
+    }
+
+
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -442,6 +601,9 @@ def main():
     if which in ("image_sample",):
         out["image_sample"] = run_image_sample_parity(epochs)
         print(json.dumps(out["image_sample"], indent=2), flush=True)
+    if which in ("sr_sample",):
+        out["sr_sample"] = run_sr_sample_parity(epochs)
+        print(json.dumps(out["sr_sample"], indent=2), flush=True)
     path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
     existing = {}
     if os.path.exists(path):

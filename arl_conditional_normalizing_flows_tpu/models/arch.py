@@ -88,6 +88,7 @@ class ConvFlowConfig:
                 "kernels and cardinality must be even (conv_cINN_make_model.py:1472-1479)"
             )
         assert all(s in (0, 1) for s in self.squeeze_factor_blocks)
+        assert self.ksize >= 1, "ksize must be a positive kernel size"
         if self.fused_pallas_subnet:
             assert not self.layer_norm, (
                 "fused_pallas_subnet does not implement layer_norm — use the "
@@ -199,6 +200,11 @@ def _dilation_schedule(block_io_shape, ksize):
     dk < (min_dim+1)/2; checkerboard-compressed inputs have half the spatial
     extent and get one fewer dilation level.
     """
+    if ksize == 1:
+        # A 1x1 kernel cannot grow by dilation (dk' = (k-1)(dk-1)+1 stays 1,
+        # so the reference's growth loop would never terminate); pointwise
+        # subnets get the trivial single-level schedule.
+        return (1,), (1,)
     min_cw = min(block_io_shape[0], block_io_shape[1])
     min_cb = min_cw / 2
 

@@ -412,6 +412,27 @@ def test_dense_masked_groups_model_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
 
 
+def test_conv_ksize1_pointwise_roundtrip(rng):
+    """ksize=1 (pointwise subnets) must build with the trivial dilation
+    schedule and stay bijective — the reference's dilation growth loop
+    (conv_cINN_make_model.py:1552-1610) never terminates for k=1, and our
+    schedule derivation previously hit a ZeroDivisionError (found by fuzz)."""
+    from arl_conditional_normalizing_flows_tpu.models.arch import _dilation_schedule
+
+    assert _dilation_schedule((8, 8, 2), 1) == ((1,), (1,))
+    cfg = ConvFlowConfig(
+        io_shape=(8, 8, 2), x_d=1,
+        squeeze_factor_blocks=(0, 1), res_blocks=(1, 1),
+        num_kernels=(8, 8), cardinality=(2, 2), ksize=1,
+    )
+    model, params = init_conv(cfg)
+    xy = jnp.asarray(rng.normal(size=(3,) + cfg.io_shape).astype(np.float32))
+    zy, log_det = model.apply(params, xy)
+    assert np.all(np.isfinite(np.asarray(log_det))) and log_det.shape == (3,)
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)
+
+
 def test_config_fuzz_roundtrip(rng):
     """Property fuzz over the valid architecture space: random block counts,
     squeeze/factor patterns, widths, cardinalities, and io shapes must all
@@ -437,7 +458,7 @@ def test_config_fuzz_roundtrip(rng):
         cfg = ConvFlowConfig(
             io_shape=(side, side, xy_d), x_d=1,
             squeeze_factor_blocks=sf, res_blocks=tuple([1] * nb),
-            num_kernels=ks, cardinality=card, ksize=3,
+            num_kernels=ks, cardinality=card, ksize=r.choice([1, 3]),
             layer_norm=r.choice([False, True]),
         )
         try:

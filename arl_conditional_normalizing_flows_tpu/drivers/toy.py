@@ -84,6 +84,7 @@ def main(argv=None):
         HistoryLogger,
         create_train_state,
         fit,
+        load_npz_extras,
         load_params_npz,
         make_step_fns,
         save_params_npz,
@@ -92,8 +93,23 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     num_layers_total = 6 * args.coupling_blocks
 
-    # layer-order permutation is part of the model identity (TOYcINN.py:174)
-    if args.fixed_mask_order:
+    # layer-order permutation is part of the model identity (TOYcINN.py:174).
+    # When resuming, restore the order SAVED WITH THE WEIGHTS — the reference
+    # silently invalidates a loaded model if the fresh random order differs
+    # (TOYcINN.py:228-235; SURVEY.md §5 checkpoint/resume).
+    saved_order = None
+    if args.load:
+        extras = load_npz_extras(args.load)
+        if "mask_indices" in extras:
+            saved_order = tuple(int(i) for i in extras["mask_indices"])
+            assert len(saved_order) == num_layers_total, (
+                f"loaded mask order has {len(saved_order)} layers but the "
+                f"requested architecture has {num_layers_total} — pass the "
+                "matching --coupling-blocks"
+            )
+    if saved_order is not None:
+        order = saved_order
+    elif args.fixed_mask_order:
         order = tuple(range(num_layers_total))
     else:
         order = shuffle_mask_indices(

@@ -1,5 +1,6 @@
 from arl_conditional_normalizing_flows_tpu.train.checkpoints import (  # noqa: F401
     CheckpointManager,
+    load_npz_extras,
     load_params_npz,
     save_params_npz,
 )

@@ -106,6 +106,15 @@ def save_params_npz(path: str, params, extra: Optional[dict] = None):
     np.savez(path, **arrays)
 
 
+def load_npz_extras(path: str) -> dict:
+    """Read the ``__extra__*`` side-channel values (e.g. the toy model's
+    mask-order permutation, part of the model identity — TOYcINN.py:174,
+    :228-235) written by :func:`save_params_npz`."""
+    data = np.load(path, allow_pickle=False)
+    prefix = "__extra__"
+    return {k[len(prefix):]: data[k] for k in data.files if k.startswith(prefix)}
+
+
 def load_params_npz(path: str, params_template):
     """Load a flat export back into the template's tree structure."""
     data = np.load(path, allow_pickle=False)

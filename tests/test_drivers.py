@@ -47,6 +47,45 @@ def test_toy_driver_tiny(tmp_path):
     assert np.isfinite(report["final"]["loss"])
 
 
+def test_toy_driver_load_restores_mask_order(tmp_path):
+    """Resuming with --load must restore the mask-order permutation SAVED
+    with the weights, even under a different --seed — the reference silently
+    invalidates a loaded model when the fresh random order differs
+    (TOYcINN.py:228-235, SURVEY.md §5 checkpoint/resume)."""
+    from arl_conditional_normalizing_flows_tpu.drivers import toy
+    from arl_conditional_normalizing_flows_tpu.train import load_npz_extras
+
+    base = [
+        "--dataset", "crescents",
+        "--coupling-blocks", "1",
+        "--intermediate-dims", "8",
+        "--num-layers", "1",
+        "--batch-size", "64",
+        "--batches-per-class", "2",
+        "--epochs", "1",
+        "--annealing-epochs", "0",
+        "--eval-samples", "64",
+    ]
+    out1 = str(tmp_path / "run1")
+    toy.main(base + ["--outdir", out1, "--seed", "0"])
+    order1 = load_npz_extras(os.path.join(out1, "weights.npz"))["mask_indices"]
+
+    out2 = str(tmp_path / "run2")
+    toy.main(
+        base
+        + ["--outdir", out2, "--seed", "1",
+           "--load", os.path.join(out1, "weights.npz")]
+    )
+    order2 = load_npz_extras(os.path.join(out2, "weights.npz"))["mask_indices"]
+    np.testing.assert_array_equal(order1, order2)
+    # sanity: a fresh seed-1 run WOULD have shuffled differently
+    from arl_conditional_normalizing_flows_tpu.models import shuffle_mask_indices
+
+    assert tuple(shuffle_mask_indices(np.random.default_rng(1), 6)) != tuple(
+        order1
+    )
+
+
 def test_conv_driver_tiny_class(tmp_path):
     from arl_conditional_normalizing_flows_tpu.drivers import conv
 

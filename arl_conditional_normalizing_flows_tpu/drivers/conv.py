@@ -205,6 +205,19 @@ def main(argv=None):
     initial_epoch = 0
     if args.load:
         if args.load.endswith(".npz"):
+            from arl_conditional_normalizing_flows_tpu.train import load_npz_extras
+
+            extras = load_npz_extras(args.load)
+            if "arch" in extras:
+                # the reference's filename-encoded compatibility contract
+                # (conv_pre_training_cINN_on_noise.py:47-48, README.md:98):
+                # conv params are spatial-size-independent, so a mismatched
+                # arch can have IDENTICAL shapes and load silently without this
+                saved = str(extras["arch"])
+                assert saved == arch_string(cfg), (
+                    f"loaded weights were trained with arch {saved}, but the "
+                    f"requested architecture is {arch_string(cfg)}"
+                )
             state = state.replace(params=load_params_npz(args.load, state.params))
         else:
             ep, state = CheckpointManager(args.load, config=cfg).restore(state)

@@ -62,7 +62,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ConvCFlow,
+        ConvFlowConfig,
+        arch_string,
+    )
     from arl_conditional_normalizing_flows_tpu.train import (
         CheckpointManager,
         HistoryLogger,
@@ -126,7 +130,14 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.join(args.outdir, "checkpoints"), config=cfg)
     mgr.save(res.completed_epochs - 1, res.state)
     mgr.close()
-    save_params_npz(os.path.join(args.outdir, "conditioned_weights.npz"), res.state.params)
+    # the arch identity rides WITH the weights — the reference encodes it in
+    # the filename as the pre-training -> training compatibility contract
+    # (conv_pre_training_cINN_on_noise.py:47-48, README.md:98)
+    save_params_npz(
+        os.path.join(args.outdir, "conditioned_weights.npz"),
+        res.state.params,
+        extra={"arch": np.asarray(arch_string(cfg))},
+    )
     final = history.rows[-1] if history.rows else {}
     print(json.dumps(final, indent=2))
     return res

@@ -257,6 +257,45 @@ def test_conv_driver_warm_start_from_pretrain(tmp_path):
     )
     assert os.path.exists(os.path.join(out, "eval.json"))
 
+    # arch-contract enforcement (the reference's filename encoding,
+    # conv_pre_training_cINN_on_noise.py:47-48): conv params are
+    # spatial-size-independent, so 14x14-pretrained weights have IDENTICAL
+    # shapes to the 28x28 arch and would previously load silently
+    noise14 = str(tmp_path / "noise14")
+    pretrain_noise.main(
+        [
+            "--height", "14", "--width", "14",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "16", "16",
+            "--cardinality", "2", "2",
+            "--num-batches", "1",
+            "--batch-size", "8",
+            "--epochs", "1",
+            "--outdir", noise14,
+        ]
+    )
+    import pytest
+
+    with pytest.raises(AssertionError, match="arch"):
+        conv.main(
+            [
+                "--model-type", "class",
+                "--dataset", "synthetic", "--synthetic-per-class", "64",
+                "--data-classes", "0", "1",
+                "--squeeze-factor", "0", "1",
+                "--res-blocks", "1", "1",
+                "--kernels", "16", "16",
+                "--cardinality", "2", "2",
+                "--batch-size", "16",
+                "--epochs", "1",
+                "--annealing-epochs", "0",
+                "--checkpoint-every", "0",
+                "--load", os.path.join(noise14, "conditioned_weights.npz"),
+                "--outdir", str(tmp_path / "conv_mismatch"),
+            ]
+        )
+
 
 def test_toy_driver_continuous_sectors(tmp_path):
     """The continuous-condition path (ds=None branch): trains on freshly

@@ -95,3 +95,28 @@ def test_scan_train_step_sharded():
     key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
     state, out = multi(state, xy_s, key, jnp.float32(1.0))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_noise_training_approaches_analytic_entropy():
+    """Analytic-NLL check (SURVEY.md §4): trained on standard-normal xy, the
+    flow's achievable joint NLL has a CLOSED-FORM optimum — the x-marginal
+    cross-entropy z_loss + detJ_loss is bounded below by the N(0, I_2)
+    differential entropy log(2*pi*e) ~ 2.838 nats, reached by the identity
+    map. A wrong normalization constant, log-det sign, or loss weighting
+    breaks this bound or the approach to it."""
+    cfg = ToyConfig(num_coupling_layers=12, intermediate_dims=16, num_layers=2)
+    model = ToyCINN(cfg)
+    state = create_train_state(model, jnp.zeros((2, 3)), 1e-3)
+    step, _ = make_step_fns(model, noise_mode="none")
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(400):
+        xy = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        state, out = step(state, xy, key, jnp.float32(1.0))
+    entropy = float(np.log(2 * np.pi * np.e))  # 2.8379
+    x_nll = float(out["z_loss"]) + float(out["detJ_loss"])
+    # one-sided bound (minus batch-sampling slack) and 10% approach
+    assert x_nll > entropy - 0.15, (x_nll, entropy)
+    assert x_nll < entropy * 1.10, (x_nll, entropy)
+    # the y-identity must also be forming (lambda_y * E|y - y'| falling)
+    assert float(out["y_loss"]) < 2.0

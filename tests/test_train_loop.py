@@ -120,3 +120,35 @@ def test_noise_training_approaches_analytic_entropy():
     assert x_nll < entropy * 1.10, (x_nll, entropy)
     # the y-identity must also be forming (lambda_y * E|y - y'| falling)
     assert float(out["y_loss"]) < 2.0
+
+
+def test_conv_noise_training_approaches_analytic_entropy():
+    """Conv analogue of the analytic-NLL bound (SURVEY.md §4): on N(0,1) xy
+    images the x-marginal cross-entropy z_loss + detJ_loss is bounded below
+    by the per-image Gaussian entropy H*W*x_d/2 * log(2*pi*e) (8x8, x_d=1:
+    ~90.81 nats) — this pins the conv prior's per-pixel normalization and
+    the batch-mean log-det sign. Bound checked on a large held-out batch."""
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ConvCFlow,
+        ConvFlowConfig,
+    )
+
+    cfg = ConvFlowConfig(
+        io_shape=(8, 8, 2), x_d=1, squeeze_factor_blocks=(0, 1),
+        res_blocks=(1, 1), num_kernels=(8, 8), cardinality=(2, 2), ksize=3,
+    )
+    model = ConvCFlow(cfg)
+    state = create_train_state(model, jnp.zeros((1,) + cfg.io_shape), 1e-3)
+    step, _ = make_step_fns(model, noise_mode="none")
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(250):
+        xy = jnp.asarray(rng.normal(size=(48,) + cfg.io_shape), jnp.float32)
+        state, _ = step(state, xy, key, jnp.float32(1.0))
+    heldout = jnp.asarray(rng.normal(size=(2048,) + cfg.io_shape), jnp.float32)
+    out = model.apply(state.params, heldout, method="log_loss")
+    entropy = 8 * 8 * 1 / 2 * float(np.log(2 * np.pi * np.e))  # 90.81
+    x_nll = float(out["z_loss"]) + float(out["detJ_loss"])
+    # one-sided bound (minus ~4.5 sigma of 2048-sample MC slack) + approach
+    assert x_nll > entropy - 0.6, (x_nll, entropy)
+    assert x_nll < entropy * 1.08, (x_nll, entropy)

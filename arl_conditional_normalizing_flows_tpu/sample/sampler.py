@@ -118,6 +118,7 @@ def conditional_moments(samples, axis=0):
     statistic used against the reference (BASELINE.md north star)."""
     mean = jnp.mean(samples, axis=axis)
     std = jnp.std(samples, axis=axis)
-    c = samples - mean
+    # center with keepdims so any sample axis (not just 0) aligns correctly
+    c = samples - jnp.mean(samples, axis=axis, keepdims=True)
     skew = jnp.mean(c**3, axis=axis) / jnp.maximum(std**3, 1e-12)
     return {"mean": mean, "std": std, "skew": skew}

@@ -76,3 +76,22 @@ def test_plots_smoke(tmp_path, rng):
     )
     for f in ["joint.png", "grid.png", "latent.png", "loss.png", "imgs.png", "sr.png"]:
         assert os.path.getsize(tmp_path / f) > 0
+
+
+def test_conditional_moments_axis_consistency():
+    """Moments must agree whichever axis holds the samples (the centering
+    previously mis-broadcast for axis != 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.sample import conditional_moments
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(2.0, 3.0, size=(5, 4000)).astype(np.float32)
+    )
+    m0 = conditional_moments(x.T, axis=0)
+    m1 = conditional_moments(x, axis=1)
+    for k in ("mean", "std", "skew"):
+        np.testing.assert_allclose(
+            np.asarray(m0[k]), np.asarray(m1[k]), rtol=1e-4, atol=1e-5
+        )

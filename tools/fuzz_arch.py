@@ -64,6 +64,10 @@ def fuzz_conv(seed: int, n: int) -> int:
             ksize=r.choice([1, 3]),
             layer_norm=r.choice([False, True]),
             fused_subnet=r.choice([False, True]),
+            # alternative lowerings / compat modes must preserve bijectivity
+            dense_masked_groups=r.choice([False, False, True]),
+            fuse_dilated_conv=r.choice([False, False, True]),
+            ref_compat_group_slice=r.choice([False, False, True]),
         )
         try:
             model = ConvCFlow(cfg)

@@ -129,3 +129,33 @@ def test_toy_mask_roundtrip(seed, m):
     u2 = masks.toy_gather(u, u2_idx)
     back = masks.toy_scatter_combine(u1, u2, u1_idx, u2_idx, 3)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(u))
+
+
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    b=st.integers(1, 4),
+    shape_nd=st.sampled_from(["vec", "img"]),
+)
+def test_affine_coupling_law_roundtrip_and_logdet(seed, b, shape_nd):
+    from arl_conditional_normalizing_flows_tpu.ops.coupling import (
+        affine_forward,
+        affine_inverse,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (b, 5) if shape_nd == "vec" else (b, 3, 4, 2)
+    a = jnp.asarray(np.tanh(rng.normal(size=shape)).astype(np.float32))
+    bb = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    v2, delta = affine_forward(a, bb, u2)
+    assert delta.shape == (b,)
+    # per-sample log-det is exactly sum(a) over non-batch axes
+    np.testing.assert_allclose(
+        np.asarray(delta),
+        np.asarray(a).reshape(b, -1).sum(-1),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(affine_inverse(a, bb, v2)), np.asarray(u2), rtol=2e-5, atol=2e-5
+    )

@@ -159,3 +159,28 @@ def test_affine_coupling_law_roundtrip_and_logdet(seed, b, shape_nd):
     np.testing.assert_allclose(
         np.asarray(affine_inverse(a, bb, v2)), np.asarray(u2), rtol=2e-5, atol=2e-5
     )
+
+
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.floats(0.0, 1.0),
+    x_d=st.integers(1, 2),
+)
+def test_instance_noise_properties(seed, alpha, x_d):
+    import jax
+
+    from arl_conditional_normalizing_flows_tpu.ops.noise import (
+        instance_noise,
+        instance_noise_x_only,
+    )
+
+    xy = _arr(seed, (6, 3))
+    key = jax.random.PRNGKey(seed)
+    full = instance_noise(key, xy, jnp.float32(alpha))
+    xo = instance_noise_x_only(key, xy, jnp.float32(alpha), x_d)
+    # y-columns stay untouched in the toy variant at every alpha
+    np.testing.assert_array_equal(np.asarray(xo[..., x_d:]), np.asarray(xy[..., x_d:]))
+    if alpha == 1.0:  # alpha=1 is the identity for both variants
+        np.testing.assert_allclose(np.asarray(full), np.asarray(xy), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(xy), atol=1e-6)

@@ -181,6 +181,14 @@ def test_instance_noise_properties(seed, alpha, x_d):
     xo = instance_noise_x_only(key, xy, jnp.float32(alpha), x_d)
     # y-columns stay untouched in the toy variant at every alpha
     np.testing.assert_array_equal(np.asarray(xo[..., x_d:]), np.asarray(xy[..., x_d:]))
-    if alpha == 1.0:  # alpha=1 is the identity for both variants
-        np.testing.assert_allclose(np.asarray(full), np.asarray(xy), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(xo), np.asarray(xy), atol=1e-6)
+    # full variant mixes every column toward N(0,1) noise: at alpha<1 the
+    # y-columns must differ from the toy variant's untouched ones
+    if alpha < 0.99:  # away from 1, where the noise term is resolvable
+        assert not np.allclose(np.asarray(full[..., x_d:]), np.asarray(xy[..., x_d:]))
+    # alpha=1 is the identity for both variants — checked unconditionally
+    # (a conditional on the drawn alpha would only run when hypothesis
+    # happens to generate exactly 1.0)
+    full1 = instance_noise(key, xy, jnp.float32(1.0))
+    xo1 = instance_noise_x_only(key, xy, jnp.float32(1.0), x_d)
+    np.testing.assert_allclose(np.asarray(full1), np.asarray(xy), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xo1), np.asarray(xy), atol=1e-6)

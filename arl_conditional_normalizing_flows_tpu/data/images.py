@@ -185,21 +185,40 @@ class ClassConditionalSource:
         )
         self._x = np.concatenate(xs)
         self._y = np.concatenate(ys)
+        # per-class row ranges — batch membership is reshuffled within each
+        # class every epoch (the reference's tf.data pipeline reshuffles
+        # examples per iteration, conv_cINN.py:271-304; only permuting the
+        # slot ORDER would replay identical batch compositions for the whole
+        # run and degrade SGD mixing)
+        bounds, start = [], 0
+        for x in xs:
+            bounds.append((start, start + len(x)))
+            start += len(x)
+        self._class_bounds = bounds
         self.num_batches = len(self._x) // self.batch_size
         h, w = self._x.shape[1:3]
         self.xy_shape = (h, w, self._x.shape[3] + 1)
 
     def epoch(self, key, epoch_idx: int = 0):
         """Yield shuffled class-pure xy batches with a fresh 2% noise floor."""
-        k_perm, k_noise = jax.random.split(jax.random.fold_in(key, epoch_idx))
+        k_perm, k_shuf, k_noise = jax.random.split(
+            jax.random.fold_in(key, epoch_idx), 3
+        )
         order = np.asarray(jax.random.permutation(k_perm, self.num_batches))
+        # example-level shuffle within each class: slots stay class-pure
+        # (class ranges are multiples of batch_size) but their membership
+        # changes every epoch
+        perm = np.empty(len(self._x), np.int64)
+        for ci, (s, e) in enumerate(self._class_bounds):
+            kc = jax.random.fold_in(k_shuf, ci)
+            perm[s:e] = s + np.asarray(jax.random.permutation(kc, e - s))
         b = self.batch_size
         h, w = self.xy_shape[:2]
         for slot in order:
-            sl = slice(int(slot) * b, (int(slot) + 1) * b)
-            x = jnp.asarray(self._x[sl])
+            idx = perm[int(slot) * b : (int(slot) + 1) * b]
+            x = jnp.asarray(self._x[idx])
             yplane = jnp.broadcast_to(
-                jnp.asarray(self._y[sl])[:, None, None, None], (b, h, w, 1)
+                jnp.asarray(self._y[idx])[:, None, None, None], (b, h, w, 1)
             )
             xy = jnp.concatenate([x, yplane], axis=-1)
             if self.noise_floor_alpha < 1.0:

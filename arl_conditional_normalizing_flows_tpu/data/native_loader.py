@@ -36,13 +36,18 @@ def _load_library() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
+            # make is timestamp-aware: a no-op when the cached .so is current,
+            # a rebuild when cnfrec_loader.cc changed since it was built
+            try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
+            except Exception:
+                if not os.path.exists(_LIB_PATH):
+                    raise  # no prebuilt library to fall back to
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:
             _lib_failed = True
@@ -73,8 +78,19 @@ def _load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        if hasattr(lib, "cnf_crc32c"):  # absent in pre-update cached builds
+            lib.cnf_crc32c.restype = ctypes.c_uint32
+            lib.cnf_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def crc32c_native(data: bytes) -> Optional[int]:
+    """CRC32C via the native library; None when it isn't available."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "cnf_crc32c"):
+        return None
+    return int(lib.cnf_crc32c(data, len(data)))
 
 
 def native_available() -> bool:
@@ -122,8 +138,10 @@ class NativeRecordFile:
                 out.ctypes.data_as(ctypes.c_void_p),
                 nthreads,
             )
-        else:
+        elif hasattr(self, "_arr"):
             out[...] = self._arr[indices]
+        else:  # native-backed file after close(): _h is None and no _arr
+            raise ValueError(f"gather on closed NativeRecordFile {self.path}")
         return out
 
     def close(self):
@@ -147,6 +165,9 @@ def gather_multi(files: Sequence[NativeRecordFile], file_ids: np.ndarray,
     n = len(indices)
     f0 = files[0]
     out = np.empty((n,) + f0.record_shape, f0.dtype)
+    closed = [f.path for f in files if f._h is None and not hasattr(f, "_arr")]
+    if closed:  # closed native files would mis-route to the _arr fallback
+        raise ValueError(f"gather_multi on closed NativeRecordFile(s): {closed}")
     if lib is not None and all(f._h is not None for f in files):
         handles = (ctypes.c_void_p * len(files))(*[f._h for f in files])
         if nthreads <= 0:
@@ -180,19 +201,40 @@ class PrefetchingEpochLoader:
 
         order = np.asarray(order, np.int64)
         nb = len(order) // self.batch_size
-        q: "queue.Queue" = __import__("queue").Queue(maxsize=2)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
 
         def worker():
             for i in range(nb):
                 idx = order[i * self.batch_size : (i + 1) * self.batch_size]
-                q.put(self.file.gather(idx))
+                batch = self.file.gather(idx)
+                # bounded put so an abandoned generator (consumer breaks out
+                # of the epoch early) can't leave this thread blocked forever
+                # pinning the batch buffers and the open file
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # unblock a worker waiting on a full queue, then reap it
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

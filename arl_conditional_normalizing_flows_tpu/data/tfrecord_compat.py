@@ -25,30 +25,61 @@ import numpy as np
 # CRC32C (Castagnoli) — table-driven, for TFRecord frame verification
 # ---------------------------------------------------------------------------
 
-_CRC_TABLE = None
+_CRC_TABLES = None
 
 
-def _crc32c_table():
-    global _CRC_TABLE
-    if _CRC_TABLE is None:
+def _crc32c_tables():
+    """8x256 slice-by-8 lookup tables as plain-int lists (np.uint32 scalar
+    arithmetic is ~100x slower per op than Python ints)."""
+    global _CRC_TABLES
+    if _CRC_TABLES is None:
         poly = 0x82F63B78
-        table = np.zeros(256, np.uint32)
+        t0 = []
         for i in range(256):
-            c = np.uint32(i)
+            c = i
             for _ in range(8):
-                c = np.uint32((c >> np.uint32(1)) ^ (poly if (c & np.uint32(1)) else 0))
-            table[i] = c
-        _CRC_TABLE = table
-    return _CRC_TABLE
+                c = (c >> 1) ^ (poly if c & 1 else 0)
+            t0.append(c)
+        tables = [t0]
+        for _ in range(7):
+            prev = tables[-1]
+            tables.append([t0[prev[i] & 0xFF] ^ (prev[i] >> 8) for i in range(256)])
+        _CRC_TABLES = tables
+    return _CRC_TABLES
 
 
 def crc32c(data: bytes) -> int:
-    table = _crc32c_table()
-    crc = np.uint32(0xFFFFFFFF)
-    arr = np.frombuffer(data, np.uint8)
-    for b in arr:
-        crc = np.uint32(table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint32(8)))
-    return int(crc ^ np.uint32(0xFFFFFFFF))
+    """CRC32C of ``data``: native C++ when available (native/cnfrec_loader.cc,
+    >1 GB/s), else slice-by-8 in Python ints (~50 MB/s — fast enough to verify
+    a full MNIST TFRecord in seconds; the original per-byte np.uint32 loop
+    took microseconds PER BYTE and appeared hung on real files)."""
+    from arl_conditional_normalizing_flows_tpu.data.native_loader import (
+        crc32c_native,
+    )
+
+    native = crc32c_native(data)
+    if native is not None:
+        return native
+    tabs = _crc32c_tables()
+    t0, t1, t2, t3, t4, t5, t6, t7 = tabs
+    crc = 0xFFFFFFFF
+    n8 = len(data) // 8 * 8
+    mv = memoryview(data)
+    for i in range(0, n8, 8):
+        w = int.from_bytes(mv[i : i + 8], "little") ^ crc
+        crc = (
+            t7[w & 0xFF]
+            ^ t6[(w >> 8) & 0xFF]
+            ^ t5[(w >> 16) & 0xFF]
+            ^ t4[(w >> 24) & 0xFF]
+            ^ t3[(w >> 32) & 0xFF]
+            ^ t2[(w >> 40) & 0xFF]
+            ^ t1[(w >> 48) & 0xFF]
+            ^ t0[(w >> 56) & 0xFF]
+        )
+    for b in mv[n8:]:
+        crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 def masked_crc32c(data: bytes) -> int:

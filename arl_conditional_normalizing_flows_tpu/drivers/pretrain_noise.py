@@ -106,6 +106,10 @@ def main(argv=None):
             make_scan_train_step,
         )
 
+        assert args.num_batches >= args.scan_steps, (
+            f"--scan-steps {args.scan_steps} exceeds the {args.num_batches} "
+            "batches per epoch — every epoch would be empty"
+        )
         train_step = make_scan_train_step(
             model, args.scan_steps, noise_mode="none"
         )

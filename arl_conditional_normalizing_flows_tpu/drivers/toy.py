@@ -158,6 +158,13 @@ def main(argv=None):
             make_scan_train_step,
         )
 
+        per_epoch = args.batches_per_class * (
+            len(ds.class_labels) if ds is not None else 2
+        )
+        assert per_epoch >= args.scan_steps, (
+            f"--scan-steps {args.scan_steps} exceeds the {per_epoch} batches "
+            "per epoch — every epoch would be empty"
+        )
         train_step = make_scan_train_step(
             model, args.scan_steps, noise_mode="x_only", x_d=cfg.x_d
         )

@@ -108,11 +108,19 @@ def state_shardings(mesh: Mesh, state, axis_name: str = "model"):
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
-    """Multi-host bring-up (no-op when already initialized or single host)."""
-    if jax.process_count() > 1:
-        return
+    """Multi-host bring-up (no-op when already initialized or single host).
+
+    Must run before any other JAX call: ``jax.distributed.initialize``
+    refuses to run once the XLA backends exist, and even ``process_count()``
+    forces backend init — so the already-initialized check reads the
+    distributed global state directly instead of touching the backend.
+    """
     if coordinator_address is None:
         return  # single host
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

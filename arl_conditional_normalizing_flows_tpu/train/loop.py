@@ -298,6 +298,7 @@ def fit(
         )
         return state, True
 
+    completed = initial_epoch
     for epoch in range(initial_epoch, total):
         if epoch < num_annealing_epochs:
             alpha = epoch / float(num_annealing_epochs)
@@ -313,6 +314,16 @@ def fit(
                 xy = mesh_lib.shard_batch(xy, mesh)
             state, out = train_step(state, xy, k_noise, alpha)
             metrics.update(jax.tree_util.tree_map(float, out))
+        if metrics.count == 0:
+            # an empty epoch would otherwise log loss=0.0 and "converge":
+            # typical cause is --scan-steps larger than the batches per epoch
+            # (epoch_stacks drops the trailing partial group)
+            raise ValueError(
+                f"fit: data_epoch_fn yielded no batches at epoch {epoch}; "
+                "if using scanned steps, reduce num_inner/--scan-steps below "
+                "the number of batches per epoch"
+            )
+        completed = epoch + 1
         row = metrics.result()
         row["seconds"] = time.time() - t0
         row["alpha"] = float(alpha)
@@ -351,5 +362,5 @@ def fit(
                 break
 
     return FitResult(
-        state=state, history=history, completed_epochs=epoch + 1, stopped_early=stopped
+        state=state, history=history, completed_epochs=completed, stopped_early=stopped
     )

@@ -35,6 +35,10 @@ class MeanMetrics:
             self._sums[k] += float(values[k])
         self._count += 1
 
+    @property
+    def count(self) -> int:
+        return self._count
+
     def result(self) -> Dict[str, float]:
         n = max(self._count, 1)
         return {k: self._sums[k] / n for k in self.keys}
@@ -72,9 +76,32 @@ class HistoryLogger:
             csv.writer(f).writerow([row.get(c, "") for c in self._columns])
 
 
+_TREE_COPY_JIT = None
+
+
+def _tree_copy(tree):
+    """Defensive on-device copy of a param pytree. The train step DONATES its
+    incoming state, so storing live buffers here would leave deleted arrays
+    behind after the next step; ``x + 0`` under one jit forces fresh output
+    buffers while keeping each leaf's sharding (no host round-trip, and a
+    single dispatch rather than one per leaf — dispatch latency is ~ms
+    through a remote TPU backend)."""
+    global _TREE_COPY_JIT
+    if _TREE_COPY_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from jax.tree_util import tree_map
+
+        _TREE_COPY_JIT = jax.jit(
+            lambda t: tree_map(lambda a: a + jnp.zeros((), a.dtype), t)
+        )
+    return _TREE_COPY_JIT(tree)
+
+
 class EarlyStopping:
     """Keras-style EarlyStopping(monitor, patience, restore_best_weights=True)
-    (TOYcINN.py:118-122, conv_cINN.py:140-141)."""
+    (TOYcINN.py:118-122, conv_cINN.py:140-141): stop after ``patience``
+    consecutive epochs without improvement."""
 
     def __init__(self, patience: int, min_delta: float = 0.0):
         self.patience = patience
@@ -87,8 +114,8 @@ class EarlyStopping:
         """Record this epoch's monitored value; returns True to STOP."""
         if value < self.best - self.min_delta:
             self.best = value
-            self.best_state = state
+            self.best_state = _tree_copy(state)
             self.wait = 0
             return False
         self.wait += 1
-        return self.wait > self.patience
+        return self.wait >= self.patience

@@ -8,8 +8,8 @@
 // reader with multi-threaded batch gather and CRC verification, exposed
 // through a C ABI consumed via ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread \
-//            cnfrec_loader.cc -o libcnfrec.so
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread cnfrec_loader.cc
+//        -o libcnfrec.so   (see native/Makefile)
 
 #include <atomic>
 #include <cstdint>
@@ -47,6 +47,22 @@ uint32_t crc32_update(uint32_t crc, const uint8_t* buf, size_t len) {
     crc = crc32_table[(crc ^ buf[i]) & 0xFF] ^ (crc >> 8);
   return ~crc;
 }
+
+// CRC32C (Castagnoli, used by TFRecord framing) — slice-by-8 tables
+uint32_t crc32c_table[8][256];
+bool crc32c_table_init = [] {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0x82F63B78u ^ (c >> 1) : c >> 1;
+    crc32c_table[0][i] = c;
+  }
+  for (int t = 1; t < 8; ++t)
+    for (uint32_t i = 0; i < 256; ++i)
+      crc32c_table[t][i] =
+          crc32c_table[0][crc32c_table[t - 1][i] & 0xFF] ^
+          (crc32c_table[t - 1][i] >> 8);
+  return true;
+}();
 
 struct Handle {
   int fd = -1;
@@ -230,6 +246,26 @@ void cnf_gather_multi(void** handles, const int32_t* file_ids,
     ts.emplace_back(work, lo, hi);
   }
   for (auto& t : ts) t.join();
+}
+
+// CRC32C (Castagnoli) of buf[0:len] — the TFRecord frame checksum
+// (data/tfrecord_compat.py). Slice-by-8; >1 GB/s, vs the pure-Python
+// fallback's ~5 MB/s.
+uint32_t cnf_crc32c(const uint8_t* buf, int64_t len) {
+  uint32_t crc = 0xFFFFFFFFu;
+  int64_t i = 0;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t w;
+    memcpy(&w, buf + i, 8);
+    w ^= crc;  // little-endian host assumed (as elsewhere in this file)
+    crc = crc32c_table[7][w & 0xFF] ^ crc32c_table[6][(w >> 8) & 0xFF] ^
+          crc32c_table[5][(w >> 16) & 0xFF] ^ crc32c_table[4][(w >> 24) & 0xFF] ^
+          crc32c_table[3][(w >> 32) & 0xFF] ^ crc32c_table[2][(w >> 40) & 0xFF] ^
+          crc32c_table[1][(w >> 48) & 0xFF] ^ crc32c_table[0][(w >> 56) & 0xFF];
+  }
+  for (; i < len; ++i)
+    crc = crc32c_table[0][(crc ^ buf[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
 }
 
 }  // extern "C"

@@ -78,3 +78,59 @@ def test_prefetching_epoch_loader(record_file, rng):
     got = np.concatenate(batches)
     np.testing.assert_array_equal(got, arr[order[:100]])
     f.close()
+
+
+def test_gather_after_close_raises(record_file):
+    path, _ = record_file
+    f = native_loader.NativeRecordFile(path)
+    f.close()
+    with pytest.raises(ValueError, match="closed"):
+        f.gather(np.arange(4))
+    with pytest.raises(ValueError, match="closed"):
+        native_loader.gather_multi([f], np.zeros(2, np.int32), np.arange(2))
+
+
+def test_prefetch_loader_abandoned_generator_reaps_worker(record_file, rng):
+    """Breaking out of an epoch mid-way must not leave the worker thread
+    blocked on the bounded queue forever."""
+    import threading
+    import time
+
+    path, _ = record_file
+    f = native_loader.NativeRecordFile(path)
+    before = threading.active_count()
+    gen = native_loader.PrefetchingEpochLoader(f, 10).epoch(rng.permutation(100))
+    next(gen)  # take one batch, abandon the rest
+    gen.close()  # triggers GeneratorExit at the yield
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    f.close()
+
+
+def test_native_crc32c_known_vector_and_python_agreement(rng):
+    from arl_conditional_normalizing_flows_tpu.data.tfrecord_compat import (
+        _crc32c_tables,
+        crc32c,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283  # standard CRC32C test vector
+    if native_loader.native_available():
+        data = rng.normal(size=1000).astype(np.float32).tobytes()
+        # python slice-by-8 fallback agrees with the native kernel
+        t0, t1, t2, t3, t4, t5, t6, t7 = _crc32c_tables()
+        crc = 0xFFFFFFFF
+        n8 = len(data) // 8 * 8
+        mv = memoryview(data)
+        for i in range(0, n8, 8):
+            w = int.from_bytes(mv[i : i + 8], "little") ^ crc
+            crc = (
+                t7[w & 0xFF] ^ t6[(w >> 8) & 0xFF] ^ t5[(w >> 16) & 0xFF]
+                ^ t4[(w >> 24) & 0xFF] ^ t3[(w >> 32) & 0xFF]
+                ^ t2[(w >> 40) & 0xFF] ^ t1[(w >> 48) & 0xFF]
+                ^ t0[(w >> 56) & 0xFF]
+            )
+        for b in mv[n8:]:
+            crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        assert (crc ^ 0xFFFFFFFF) == native_loader.crc32c_native(data)

@@ -152,3 +152,54 @@ def test_conv_noise_training_approaches_analytic_entropy():
     # one-sided bound (minus ~4.5 sigma of 2048-sample MC slack) + approach
     assert x_nll > entropy - 0.6, (x_nll, entropy)
     assert x_nll < entropy * 1.08, (x_nll, entropy)
+
+
+def test_early_stop_restored_params_survive_donation():
+    """The donating train_step deletes the buffers fit hands to EarlyStopping;
+    the restored best params must be defensive copies that remain usable
+    (saving/eval after any early-stopped run crashed before the fix)."""
+    model = ToyCINN(CFG)
+    ds = toy_datasets.make_moons_dataset()
+    state = create_train_state(model, jnp.zeros((2, 3)), 0.0)  # lr=0: no improvement
+    step, eval_step = make_step_fns(model, noise_mode="none")
+    res = fit(
+        state, step, lambda k, e: ds.epoch_iterator(k, 2, 64),
+        key=jax.random.PRNGKey(0), num_epochs=30, patience=1, verbose=False,
+    )
+    assert res.stopped_early
+    # materialize every restored leaf — deleted buffers would raise here
+    for leaf in jax.tree_util.tree_leaves(res.state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # and the restored state actually runs
+    out = eval_step(res.state, jnp.zeros((4, 3)))
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_empty_epoch_raises():
+    """An epoch that yields no batches must fail loudly, not log loss=0.0
+    (the --scan-steps > batches-per-epoch pitfall)."""
+    import pytest
+
+    model = ToyCINN(CFG)
+    state = create_train_state(model, jnp.zeros((2, 3)), 1e-3)
+    step, _ = make_step_fns(model, noise_mode="none")
+    with pytest.raises(ValueError, match="no batches"):
+        fit(
+            state, step, lambda k, e: iter(()),
+            key=jax.random.PRNGKey(0), num_epochs=2, verbose=False,
+        )
+
+
+def test_resume_past_end_runs_zero_epochs():
+    """Resuming a finished run (initial_epoch == total) must not report a
+    phantom completed epoch."""
+    model = ToyCINN(CFG)
+    ds = toy_datasets.make_moons_dataset()
+    state = create_train_state(model, jnp.zeros((2, 3)), 1e-3)
+    step, _ = make_step_fns(model, noise_mode="none")
+    res = fit(
+        state, step, lambda k, e: ds.epoch_iterator(k, 1, 32),
+        key=jax.random.PRNGKey(0), num_epochs=3, initial_epoch=3, verbose=False,
+    )
+    assert res.completed_epochs == 3
+    assert res.history.rows == []

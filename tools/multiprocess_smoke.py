@@ -16,10 +16,15 @@ proc_id = int(sys.argv[1])
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 import jax
 jax.config.update('jax_platforms', 'cpu')
-jax.distributed.initialize(coordinator_address=os.environ.get('CNF_COORD', 'localhost:12355'),
-                           num_processes=2, process_id=proc_id)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# bring-up goes through the library helper so this smoke also regression-tests
+# it (initialize_distributed must not touch the backend before initializing —
+# jax.process_count() here would make jax.distributed.initialize raise)
+from arl_conditional_normalizing_flows_tpu.parallel import initialize_distributed
+initialize_distributed(coordinator_address=os.environ.get('CNF_COORD', 'localhost:12355'),
+                       num_processes=2, process_id=proc_id)
+initialize_distributed(coordinator_address='ignored:0')  # idempotent re-call is a no-op
 import numpy as np, jax.numpy as jnp
-sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 from jax.sharding import NamedSharding, PartitionSpec as P
 from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
 from arl_conditional_normalizing_flows_tpu.parallel import make_mesh, shard_batch

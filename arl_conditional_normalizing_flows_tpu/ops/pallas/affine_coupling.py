@@ -8,9 +8,12 @@ write ``v2``, and accumulate the log-det across the feature grid dimension —
 and a custom VJP recomputes ``exp(a)`` in the backward pass instead of saving
 it (rematerialization: trade FLOPs for HBM traffic).
 
-Inputs of any rank are flattened to ``(B, N)``; N is zero-padded to the lane
-width (padding contributes ``exp(0)*0 + 0 = 0`` to v2 and ``0`` to the
-log-det, so results are exact).  On non-TPU backends (and under
+Inputs of any rank are flattened to ``(B, N)``; N is zero-padded to a
+multiple of the feature tile the kernel will use (padding contributes
+``exp(0)*0 + 0 = 0`` to v2 and ``0`` to the log-det, so results are exact;
+padding only to the 128-lane width would let a partial last grid block sum
+out-of-bounds garbage into the log-det).  The log-det accumulates in float32
+whatever the compute dtype.  On non-TPU backends (and under
 ``interpret=True`` in tests) a jnp path with identical semantics is used.
 """
 
@@ -44,6 +47,18 @@ def _pad_feat(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, n_pad)))
 
 
+def _grid_pad(n):
+    """Zero-pad amount so every feature grid block is FULLY in bounds.
+
+    Padding only to LANE is not enough: when the padded width exceeds
+    FEAT_TILE but is not a multiple of it, the last grid block would read
+    out-of-bounds (unspecified) columns and sum them into the log-det.
+    Pad to a multiple of the tile width the kernel will actually use."""
+    n_lane = n + (-n % LANE)
+    nt = min(FEAT_TILE, n_lane)
+    return (n_lane + (-n_lane % nt)) - n
+
+
 # ---------------------------------------------------------------------------
 # forward: (a, b, u2) -> (v2, logdet)
 # ---------------------------------------------------------------------------
@@ -53,7 +68,9 @@ def _fwd_kernel(a_ref, b_ref, u2_ref, v2_ref, ld_ref):
     j = pl.program_id(1)
     a = a_ref[:]
     v2_ref[:] = jnp.exp(a) * u2_ref[:] + b_ref[:]
-    partial = jnp.sum(a, axis=1, keepdims=True)
+    # log-det accumulates in float32 regardless of the compute dtype
+    # (the documented invariant, ops/coupling.py)
+    partial = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
@@ -68,7 +85,8 @@ def _fwd_pallas_2d(a, b, u2):
     B, N = a.shape
     bt = BATCH_TILE if B % BATCH_TILE == 0 else B
     nt = min(FEAT_TILE, N)
-    grid = (B // bt, pl.cdiv(N, nt))
+    assert N % nt == 0, (N, nt)  # _pad_grid guarantees full feature blocks
+    grid = (B // bt, N // nt)
     v2, ld = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -83,7 +101,7 @@ def _fwd_pallas_2d(a, b, u2):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N), a.dtype),
-            jax.ShapeDtypeStruct((B, 1), a.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=3 * B * N,
@@ -113,8 +131,8 @@ def _forward_impl(a, b, u2):
     N = a2.shape[1]
     if not _on_tpu():
         v2 = jnp.exp(a2) * u2.reshape(B, -1) + b.reshape(B, -1)
-        return v2.reshape(shape), jnp.sum(a2, axis=1)
-    n_pad = -N % LANE
+        return v2.reshape(shape), jnp.sum(a2.astype(jnp.float32), axis=1)
+    n_pad = _grid_pad(N)
     a_p = _pad_feat(a2, n_pad)
     b_p = _pad_feat(b.reshape(B, -1), n_pad)
     u_p = _pad_feat(u2.reshape(B, -1), n_pad)
@@ -133,7 +151,7 @@ def _forward_bwd(res, g):
     shape = a.shape
     B = shape[0]
     # broadcast gld back over non-batch axes
-    gld_b = gld.reshape((B,) + (1,) * (a.ndim - 1))
+    gld_b = gld.reshape((B,) + (1,) * (a.ndim - 1)).astype(a.dtype)
     ea = jnp.exp(a)
     du2 = gv2 * ea
     db = gv2
@@ -162,7 +180,7 @@ def fused_affine_inverse(a, b, v2):
     if not _on_tpu():
         u2 = jnp.exp(-a2) * (v2.reshape(B, -1) - b.reshape(B, -1))
         return u2.reshape(shape)
-    n_pad = -N % LANE
+    n_pad = _grid_pad(N)
     a_p = _pad_feat(a2, n_pad)
     b_p = _pad_feat(b.reshape(B, -1), n_pad)
     v_p = _pad_feat(v2.reshape(B, -1), n_pad)
@@ -171,7 +189,7 @@ def fused_affine_inverse(a, b, v2):
     nt = min(FEAT_TILE, Np)
     u2 = pl.pallas_call(
         _inv_kernel,
-        grid=(B // bt, pl.cdiv(Np, nt)),
+        grid=(B // bt, Np // nt),
         in_specs=[
             pl.BlockSpec((bt, nt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, nt), lambda i, j: (i, j), memory_space=pltpu.VMEM),

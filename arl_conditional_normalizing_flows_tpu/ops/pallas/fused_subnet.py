@@ -174,11 +174,17 @@ def _lrelu(v):
 
 def _conv_taps(x, w, dil, ksize, dtype):
     """x (T,H,W,Cin) [dtype], w (k,k,Cin,Cout) -> f32 (T,H,W,Cout) via
-    per-tap matmuls on a zero-padded copy."""
-    P = dil * (ksize - 1) // 2
+    per-tap matmuls on a zero-padded copy.
+
+    Padding matches XLA/flax SAME exactly: total ``dil*(k-1)`` split
+    low = total//2, high = total - low (asymmetric for even kernel sizes —
+    a symmetric ``P = total//2`` both sides computes a DIFFERENT function
+    for even ksize)."""
+    total = dil * (ksize - 1)
+    lo, hi = total // 2, total - total // 2
     H, W = x.shape[1], x.shape[2]
-    if P:
-        xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
+    if total:
+        xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
     else:
         xp = x
     acc = None
@@ -330,7 +336,11 @@ def subnet_apply_pallas(spec: SubnetSpec, x, flat_weights, interpret=False):
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform == "tpu"
+    try:
+        # this environment's remote TPU registers as platform "axon"
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=None)

@@ -18,6 +18,36 @@ import jax.numpy as jnp
 from arl_conditional_normalizing_flows_tpu.ops import logit as logit_ops
 
 
+def postprocess_sampled_xy(xy, y, x_d, *, de_logit=False, residual=False,
+                           logit_a=0.01):
+    """Post-processing shared by local sampling and the serving export
+    (serve.export.make_image_serving_fn): split off x, optionally invert the
+    logit transform (conv_cINN_base_functions.py:287-318), optionally
+    reconstruct the SR-residual image as x + y (conv_cINN.py:44-45).
+
+    Args:
+        xy: sampled (..., H, W, x_d + y_d) output of ``sample_xy``.
+        y: the (broadcastable) condition actually fed to the sampler; when
+            its channel count is narrower than x, the residual fallback adds
+            the model's own mapped y channels instead.
+    """
+    x = xy[..., :x_d]
+    y_out = xy[..., x_d:]
+    if de_logit:
+        x = logit_ops.de_logitify(x, logit_a)
+    if residual:
+        x = x + y[..., :x_d] if y.shape[-1] >= x_d else x + y_out
+    return x
+
+
+def _jit_sample(fn, mesh):
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P("data")))
+
+
 def sample_conditional(model, params, key, y_value, num_samples, x_d, mesh=None):
     """Toy-style sampling: x | y' for a scalar/vector condition.
 
@@ -36,14 +66,7 @@ def sample_conditional(model, params, key, y_value, num_samples, x_d, mesh=None)
         zy = jnp.concatenate([z, y], axis=-1)
         return model.apply(params, zy, method="inverse")
 
-    fn = jax.jit(_sample)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        fn = jax.jit(
-            _sample, out_shardings=NamedSharding(mesh, P("data"))
-        )
-    return fn(key)
+    return _jit_sample(_sample, mesh)(key)
 
 
 def sweep_conditions(model, params, key, y_values, num_samples, x_d):
@@ -96,21 +119,11 @@ def sample_conditional_images(
         z = jax.random.normal(key, (num_samples, h, w, x_d))
         y = jnp.broadcast_to(y_image, (num_samples, h, w, y_d))
         xy = model.apply(params, z, y, method="sample_xy")
-        x = xy[..., :x_d]
-        y_out = xy[..., x_d:]
-        if de_logit:
-            x = logit_ops.de_logitify(x, logit_a)
-        if residual:
-            # x is a residual on top of the (known) condition image
-            x = x + y_image[..., :x_d] if y_d >= x_d else x + y_out
-        return x
+        return postprocess_sampled_xy(
+            xy, y, x_d, de_logit=de_logit, residual=residual, logit_a=logit_a
+        )
 
-    fn = jax.jit(_sample)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        fn = jax.jit(_sample, out_shardings=NamedSharding(mesh, P("data")))
-    return fn(key)
+    return _jit_sample(_sample, mesh)(key)
 
 
 def conditional_moments(samples, axis=0):

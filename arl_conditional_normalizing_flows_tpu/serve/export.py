@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from jax import export as jexport
 
-from arl_conditional_normalizing_flows_tpu.ops import logit as logit_ops
+from arl_conditional_normalizing_flows_tpu.sample.sampler import (
+    postprocess_sampled_xy,
+)
 
 
 def make_image_serving_fn(
@@ -43,19 +45,15 @@ def make_image_serving_fn(
     """``f(z, y) -> x`` for conv models: z (B,H,W,x_d) latent draw, y
     (B,H,W,y_d) condition plane (class plane or upsampled low-res image);
     returns x (B,H,W,x_d) after optional de-logit / SR-residual
-    reconstruction (the sample.sample_conditional_images post-processing)."""
+    reconstruction — the SAME ``sample.sampler.postprocess_sampled_xy`` the
+    local sampler applies, so served artifacts can never drift from local
+    sampling."""
 
     def fn(z, y):
         xy = model.apply(params, z, y, method="sample_xy")
-        x = xy[..., :x_d]
-        y_out = xy[..., x_d:]
-        if de_logit:
-            x = logit_ops.de_logitify(x, logit_a)
-        if residual:
-            # same fallback as sample.sample_conditional_images: when the
-            # condition plane is narrower than x, add the model's mapped y
-            x = x + y[..., :x_d] if y.shape[-1] >= x_d else x + y_out
-        return x
+        return postprocess_sampled_xy(
+            xy, y, x_d, de_logit=de_logit, residual=residual, logit_a=logit_a
+        )
 
     return fn
 

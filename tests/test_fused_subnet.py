@@ -154,3 +154,18 @@ def test_full_model_equivalence(rng, fused_subnet):
                                atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(xy),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_matches_flax_even_ksize(rng):
+    """Even kernel sizes need ASYMMETRIC SAME padding (total//2 low,
+    rest high) — a symmetric pad computes a different function."""
+    kw = dict(SUBNET_KW, ksize=4)
+    flax_net = ConvCouplingNet(n_heads=2, layer_norm=False, **kw)
+    fused_net = PallasFusedCouplingNet(n_heads=2, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 2)), jnp.float32)
+    pf = flax_net.init(jax.random.PRNGKey(11), x)["params"]
+    a0, b0 = flax_net.apply({"params": pf}, x)
+    pp = fused_params_from_flax(pf)
+    a1, b1 = fused_net.apply({"params": pp}, x)
+    np.testing.assert_allclose(a0, a1, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(b0, b1, atol=2e-5, rtol=2e-5)

@@ -94,3 +94,48 @@ def test_conv_model_pallas_flag_roundtrip(rng, interpret):
     zy2, ld2 = ConvCFlow(cfg2).apply(params, xy)
     np.testing.assert_allclose(np.asarray(zy), np.asarray(zy2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(ld2), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_affine_partial_grid_tile_logdet(rng):
+    """Feature sizes above FEAT_TILE that are not a multiple of it must pad
+    to full grid blocks — a partial last block summed out-of-bounds garbage
+    into the log-det before the fix."""
+    from arl_conditional_normalizing_flows_tpu.ops import coupling as ref
+    from arl_conditional_normalizing_flows_tpu.ops import pallas as pk
+    from arl_conditional_normalizing_flows_tpu.ops.pallas import affine_coupling
+
+    old = affine_coupling.INTERPRET
+    affine_coupling.INTERPRET = True
+    try:
+        a, b, u2 = (
+            jnp.asarray(rng.normal(size=(4, 1280)), jnp.float32) for _ in range(3)
+        )
+        v2, ld = pk.fused_affine_forward(a, b, u2)
+        v2r, ldr = ref.affine_forward(a, b, u2)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v2r), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ldr), rtol=1e-4, atol=1e-4)
+        u2b = pk.fused_affine_inverse(a, b, v2)
+        np.testing.assert_allclose(np.asarray(u2b), np.asarray(u2), rtol=1e-4, atol=1e-4)
+    finally:
+        affine_coupling.INTERPRET = old
+
+
+def test_fused_affine_logdet_f32_accumulation(rng):
+    """bf16 inputs still accumulate the log-det in float32."""
+    from arl_conditional_normalizing_flows_tpu.ops.pallas import affine_coupling
+
+    old = affine_coupling.INTERPRET
+    affine_coupling.INTERPRET = True
+    try:
+        a = jnp.asarray(rng.normal(size=(2, 256)), jnp.bfloat16)
+        b = jnp.zeros_like(a)
+        u2 = jnp.zeros_like(a)
+        _, ld = affine_coupling.fused_affine_forward(a, b, u2)
+        assert ld.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(ld),
+            np.asarray(a.astype(jnp.float32)).sum(-1),
+            rtol=1e-3, atol=1e-3,
+        )
+    finally:
+        affine_coupling.INTERPRET = old

@@ -42,13 +42,16 @@ def write_records(
 ):
     """Write (count, *record_shape) ``array`` as one record file."""
     array = np.ascontiguousarray(array)
+    # one zero-copy view for both CRC and write (tobytes() would materialize
+    # a full copy of the blob each time — 2x peak memory on big datasets)
+    blob = memoryview(array).cast("B")
     header = {
         "dtype": array.dtype.str,
         "shape": list(array.shape[1:]),
         "count": int(array.shape[0]),
         "label": label,
         "extra": extra or {},
-        "crc32": zlib.crc32(array.tobytes()) if with_crc else None,
+        "crc32": zlib.crc32(blob) if with_crc else None,
     }
     hbytes = json.dumps(header).encode()
     with open(path, "wb") as f:
@@ -57,7 +60,7 @@ def write_records(
         f.write(hbytes)
         pos = len(MAGIC) + 8 + len(hbytes)
         f.write(b"\0" * (-pos % _ALIGN))
-        f.write(array.tobytes())
+        f.write(blob)
 
 
 def read_header(path: str) -> Dict:

@@ -35,6 +35,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.which_classes:  # nargs='*' permits an empty list
+        raise SystemExit(
+            "cnf-build-records: --which-classes must name at least one class "
+            "(an empty list would write zero files)"
+        )
     from arl_conditional_normalizing_flows_tpu.data.images import (
         load_image_dataset,
         synthetic_digits,

@@ -153,6 +153,9 @@ def main(argv=None):
     )
 
     os.makedirs(args.outdir, exist_ok=True)
+    from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
+
+    write_run_metadata(args.outdir, args)
     train_x, train_y = load_arrays(args, "train")
     val_x, val_y = load_arrays(args, "test")
 
@@ -220,7 +223,11 @@ def main(argv=None):
                 )
             state = state.replace(params=load_params_npz(args.load, state.params))
         else:
-            ep, state = CheckpointManager(args.load, config=cfg).restore(state)
+            # create=False: --load with a bad path raises instead of minting
+            # an empty checkpoint dir and training from scratch
+            ep, state = CheckpointManager(
+                args.load, config=cfg, create=False
+            ).restore(state)
             print(f"restored epoch {ep} from {args.load}")
     elif mgr.latest_epoch() is not None:
         ep, state = mgr.restore(state)

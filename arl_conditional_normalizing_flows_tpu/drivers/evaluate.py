@@ -26,7 +26,10 @@ def build_parser():
     p.add_argument("--checkpoint-dir", required=True,
                    help="checkpoint dir written by cnf-conv (contains arch.json)")
     p.add_argument("--model-type", default="class", choices=["class", "SR4,2", "SR2,1"])
-    p.add_argument("--dataset", default="synthetic",
+    # same default as the training driver (cnf-conv) so evaluating a
+    # checkpoint with default flags scores it on the data it trained on;
+    # mnist falls back to synthetic when no cached archive exists
+    p.add_argument("--dataset", default="mnist",
                    choices=["mnist", "fashion_mnist", "synthetic"])
     p.add_argument("--synthetic-per-class", type=int, default=128)
     p.add_argument("--data-classes", type=int, nargs="*", default=[0, 1, 2, 3])
@@ -96,7 +99,9 @@ def main(argv=None):
     assert val_src.xy_shape == cfg.io_shape, (val_src.xy_shape, cfg.io_shape)
 
     state = create_train_state(model, jnp.zeros((1, h, w, xy_d)), 1e-3)
-    mgr = CheckpointManager(args.checkpoint_dir, config=cfg)
+    # create=False: a typo'd path raises instead of minting an empty
+    # checkpoint dir and "restoring" an untrained model
+    mgr = CheckpointManager(args.checkpoint_dir, config=cfg, create=False)
     epoch, state = mgr.restore(state)
     assert epoch is not None, f"no checkpoint found in {args.checkpoint_dir}"
     mgr.close()
@@ -130,16 +135,21 @@ def main(argv=None):
         print(f"exported serving artifact: {args.export_sampler} "
               f"({side['nr_bytes']} bytes, platforms={side['platforms']})")
 
-    _, eval_step = make_step_fns(model)
+    # one forward per batch: the loss components and the encoded latent
+    # come from the same pass (a separate encode jit doubled the eval
+    # compute and the per-batch dispatches through the remote backend)
+    eval_batch = jax.jit(
+        lambda params, xy: model.apply(params, xy, method="log_loss_with_latent")
+    )
     metrics = MeanMetrics()
     zs = []
-    encode = jax.jit(lambda params, xy: model.apply(params, xy))
     for xy in val_src.epoch(jax.random.PRNGKey(0), 0):
-        metrics.update(jax.tree_util.tree_map(float, eval_step(state, xy)))
-        zy, _ = encode(state.params, xy)
+        out, zy = eval_batch(state.params, xy)
+        metrics.update(jax.tree_util.tree_map(float, out))
         zs.append(np.asarray(zy[..., : cfg.x_d]))
     row = metrics.result()
-    report = {"epoch": int(epoch), **row}
+    report = {"epoch": int(epoch), "dataset": args.dataset,
+              "model_type": args.model_type, **row}
     report["bits_per_dim"] = bits_per_dim(
         row["z_loss"] + row["detJ_loss"], h * w * cfg.x_d
     )

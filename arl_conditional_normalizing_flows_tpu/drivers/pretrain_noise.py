@@ -78,6 +78,9 @@ def main(argv=None):
     )
 
     os.makedirs(args.outdir, exist_ok=True)
+    from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
+
+    write_run_metadata(args.outdir, args)
     cfg = ConvFlowConfig(
         io_shape=(args.height, args.width, args.xy_depth),
         x_d=args.x_d,

@@ -91,6 +91,9 @@ def main(argv=None):
     )
 
     os.makedirs(args.outdir, exist_ok=True)
+    from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
+
+    write_run_metadata(args.outdir, args)
     num_layers_total = 6 * args.coupling_blocks
 
     # layer-order permutation is part of the model identity (TOYcINN.py:174).

@@ -200,10 +200,10 @@ def _dilation_schedule(block_io_shape, ksize):
     dk < (min_dim+1)/2; checkerboard-compressed inputs have half the spatial
     extent and get one fewer dilation level.
     """
-    if ksize == 1:
-        # A 1x1 kernel cannot grow by dilation (dk' = (k-1)(dk-1)+1 stays 1,
-        # so the reference's growth loop would never terminate); pointwise
-        # subnets get the trivial single-level schedule.
+    if ksize <= 2:
+        # ksize=1: dk' = (k-1)(dk-1)+1 stays 1; ksize=2: dk' = dk. Either way
+        # the reference's growth loop would never terminate (its formula only
+        # grows for k >= 3), so the single-level schedule is the fixed point.
         return (1,), (1,)
     min_cw = min(block_io_shape[0], block_io_shape[1])
     min_cb = min_cw / 2

@@ -268,15 +268,9 @@ class ConvCFlow(nn.Module):
     def __call__(self, xy):
         return self.forward(xy)
 
-    def log_loss(self, xy):
-        """Joint NLL + components (conv_cINN_make_model.py:1800-1845).
-
-        ll_z sums the per-pixel N(0,1) log-prob over space; ll_y is the
-        lambda_y-weighted L1 between the mapped and requested conditions.
-        """
+    def _loss_components(self, zy, log_det, xy):
         cfg = self.cfg
         y_prime = xy[..., cfg.x_d :]
-        zy, log_det = self.forward(xy)
         z = zy[..., : cfg.x_d]
         y = zy[..., cfg.x_d :]
         ll_z = jnp.sum(standard_normal_logprob(z, axis=-1), axis=(-2, -1))
@@ -288,6 +282,21 @@ class ConvCFlow(nn.Module):
             "y_loss": -jnp.mean(ll_y),
             "detJ_loss": -jnp.mean(log_det),
         }
+
+    def log_loss(self, xy):
+        """Joint NLL + components (conv_cINN_make_model.py:1800-1845).
+
+        ll_z sums the per-pixel N(0,1) log-prob over space; ll_y is the
+        lambda_y-weighted L1 between the mapped and requested conditions.
+        """
+        zy, log_det = self.forward(xy)
+        return self._loss_components(zy, log_det, xy)
+
+    def log_loss_with_latent(self, xy):
+        """(loss components, zy) from ONE forward pass — for evaluation
+        tools that need both the NLL and the encoded latent."""
+        zy, log_det = self.forward(xy)
+        return self._loss_components(zy, log_det, xy), zy
 
     def sample_xy(self, z, y):
         """Conditional sampling: build zy from (z, y) and invert

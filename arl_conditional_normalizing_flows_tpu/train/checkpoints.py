@@ -28,19 +28,31 @@ def _config_to_json(cfg) -> str:
 class CheckpointManager:
     """Orbax-backed checkpoints of (params, opt_state, epoch) + arch metadata."""
 
-    def __init__(self, directory: str, config=None, max_to_keep: int = 3):
+    def __init__(self, directory: str, config=None, max_to_keep: int = 3,
+                 create: bool = True):
+        """``create=False`` opens an EXISTING checkpoint directory for
+        restore: a missing/empty directory raises instead of being silently
+        created and then 'restored' into an untrained model."""
         self.directory = os.path.abspath(directory)
+        if not create and not os.path.isdir(self.directory):
+            raise FileNotFoundError(
+                f"checkpoint directory does not exist: {self.directory}"
+            )
         os.makedirs(self.directory, exist_ok=True)
         self.config = config
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
+        if not create and self._mgr.latest_step() is None:
+            raise FileNotFoundError(
+                f"no checkpoint steps found in {self.directory}"
+            )
         self._meta_path = os.path.join(self.directory, "arch.json")
         if config is not None:
-            self._write_or_check_meta()
+            self._write_or_check_meta(write=create)
 
-    def _write_or_check_meta(self):
+    def _write_or_check_meta(self, write: bool = True):
         meta = _config_to_json(self.config)
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
@@ -52,7 +64,7 @@ class CheckpointManager:
                     "(the reference encodes this contract in filenames, "
                     "conv_cINN.py:519; here it is enforced)"
                 )
-        else:
+        elif write:
             with open(self._meta_path, "w") as f:
                 f.write(meta)
 
@@ -62,7 +74,15 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
-        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        # orbax's should_save silently skips steps <= latest (the final
+        # best-params save after an early stop would be DISCARDED when a
+        # cadence checkpoint already wrote that epoch) — delete-then-force
+        # makes save() unconditional
+        latest = self._mgr.latest_step()
+        if latest is not None and epoch <= latest:
+            if epoch in self._mgr.all_steps():
+                self._mgr.delete(epoch)
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:

@@ -3,3 +3,6 @@ from arl_conditional_normalizing_flows_tpu.utils.profiling import (  # noqa: F40
     profile_trace,
     step_timer,
 )
+from arl_conditional_normalizing_flows_tpu.utils.run_metadata import (  # noqa: F401
+    write_run_metadata,
+)

@@ -57,6 +57,8 @@ class step_timer:
             "n": len(ts),
             "mean_s": statistics.fmean(ts),
             "p50_s": ts[len(ts) // 2],
-            "p95_s": ts[min(len(ts) - 1, int(len(ts) * 0.95))],
+            # nearest-rank p95: ceil(0.95*n) - 1 (int(n*0.95) is one rank
+            # high and returns the MAX for n <= 20)
+            "p95_s": ts[max(0, -(-len(ts) * 95 // 100) - 1)],
             "total_s": sum(ts),
         }

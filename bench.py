@@ -55,9 +55,14 @@ def main():
         arch = dict(io_shape=(8, 8, 2), squeeze_factor_blocks=(0, 1),
                     res_blocks=(1, 1), num_kernels=(16, 16), cardinality=(2, 2))
     elif os.environ.get("BENCH_ARCH") == "perf":  # 128-lane capacity preset
-        arch = dict(io_shape=(28, 28, 2), squeeze_factor_blocks=(0, 1, 0, 0),
-                    res_blocks=(3, 3, 3, 3), num_kernels=(128, 128, 128, 128),
-                    cardinality=(8, 8, 8, 8))
+        from arl_conditional_normalizing_flows_tpu.models.arch import (
+            perf_arch_config,
+        )
+
+        p = perf_arch_config()  # the documented preset, not a hand copy
+        arch = dict(io_shape=p.io_shape, squeeze_factor_blocks=p.squeeze_factor_blocks,
+                    res_blocks=p.res_blocks, num_kernels=p.num_kernels,
+                    cardinality=p.cardinality)
     else:
         arch = dict(io_shape=(28, 28, 2), squeeze_factor_blocks=(0, 1, 0, 0),
                     res_blocks=(3, 3, 3, 3), num_kernels=(64, 64, 32, 32),
@@ -149,10 +154,24 @@ def main():
             stored = json.load(f)
     baseline = stored.get(platform)
     if baseline is None:
-        stored[platform] = train_sps
-        with open(base_path, "w") as f:
-            json.dump(stored, f)
-        baseline = train_sps
+        # self-pin ONLY the default flagship config: pinning a run with
+        # BENCH_* overrides (small arch, perf preset, other dtype/batch)
+        # would permanently corrupt vs_baseline for this platform
+        overridden = [
+            k for k in ("BENCH_ARCH", "BENCH_BATCH", "BENCH_DTYPE",
+                        "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_PALLAS",
+                        "BENCH_DENSE_GROUPS", "BENCH_INNER")
+            if os.environ.get(k)
+        ]
+        if overridden:
+            print(f"bench: not pinning baseline (overrides {overridden})",
+                  file=sys.stderr)
+            baseline = train_sps  # vs_baseline = 1.0, nothing persisted
+        else:
+            stored[platform] = train_sps
+            with open(base_path, "w") as f:
+                json.dump(stored, f)
+            baseline = train_sps
 
     print(
         json.dumps(

@@ -1,0 +1,80 @@
+"""CheckpointManager behaviors: unconditional save, restore-only mode,
+architecture contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arl_conditional_normalizing_flows_tpu.models import ToyCINN, ToyConfig
+from arl_conditional_normalizing_flows_tpu.train import create_train_state
+from arl_conditional_normalizing_flows_tpu.train.checkpoints import (
+    CheckpointManager,
+)
+
+CFG = ToyConfig(num_coupling_layers=4, intermediate_dims=8, num_layers=1)
+
+
+def _state(seed=0):
+    model = ToyCINN(CFG)
+    return create_train_state(model, jnp.zeros((2, 3)), 1e-3, seed=seed)
+
+
+def test_save_same_epoch_overwrites(tmp_path):
+    """orbax silently skips saves at steps <= latest; our save() must be
+    unconditional — the final best-params save after early stopping lands on
+    an epoch a cadence checkpoint already wrote."""
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, config=CFG)
+    s1, s2 = _state(0), _state(1)
+    mgr.save(5, s1)
+    mgr.save(5, s2)  # same epoch, DIFFERENT params — must persist s2
+    ep, restored = mgr.restore(_state(2))
+    mgr.close()
+    assert ep == 5
+    l_restored = jax.tree_util.tree_leaves(restored.params)
+    l_s2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l_restored, l_s2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_older_epoch_persists(tmp_path):
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, config=CFG)
+    mgr.save(7, _state(0))
+    s_old = _state(3)
+    mgr.save(4, s_old)  # below latest — still must be saved
+    ep, restored = mgr.restore(_state(2), epoch=4)
+    mgr.close()
+    assert ep == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(s_old.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_only_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(str(tmp_path / "nope"), config=CFG, create=False)
+    # and it must NOT have minted the directory
+    assert not (tmp_path / "nope").exists()
+
+
+def test_restore_only_empty_dir_raises(tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(str(d), config=CFG, create=False)
+    # restore-only mode must not seed arch.json into a foreign directory
+    assert not (d / "arch.json").exists()
+
+
+def test_arch_contract_enforced(tmp_path):
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, config=CFG)
+    mgr.save(0, _state(0))
+    mgr.close()
+    other = ToyConfig(num_coupling_layers=6, intermediate_dims=8, num_layers=1)
+    with pytest.raises(ValueError, match="different"):
+        CheckpointManager(d, config=other)

@@ -53,3 +53,18 @@ def test_sr_source_reshuffles_examples_across_epochs():
     first = [np.asarray(b) for b in src.epoch(key, 0)]
     second = [np.asarray(b) for b in src.epoch(key, 1)]
     assert not all(np.array_equal(a, b) for a, b in zip(first, second))
+
+
+def test_write_run_metadata(tmp_path):
+    import argparse
+    import json
+
+    from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
+
+    ns = argparse.Namespace(epochs=3, outdir=str(tmp_path), classes=[0, 1])
+    path = write_run_metadata(str(tmp_path), ns, extra={"arch": "X"})
+    with open(path) as f:
+        meta = json.load(f)
+    assert meta["args"]["epochs"] == 3
+    assert meta["arch"] == "X"
+    assert "backend" in meta and "timestamp" in meta

@@ -125,6 +125,15 @@ class NativeRecordFile:
                nthreads: int = 0) -> np.ndarray:
         """Batch gather records[indices] into a contiguous array."""
         indices = np.ascontiguousarray(indices, np.int64)
+        # the native memcpy path has no bounds checks — validate here so a
+        # bad index raises like the Python fallback instead of reading
+        # out-of-bounds memory into the batch
+        if len(indices) and (
+            indices.min() < 0 or indices.max() >= self.count
+        ):
+            raise IndexError(
+                f"record indices out of range [0, {self.count}) for {self.path}"
+            )
         n = len(indices)
         if out is None:
             out = np.empty((n,) + self.record_shape, self.dtype)
@@ -168,6 +177,21 @@ def gather_multi(files: Sequence[NativeRecordFile], file_ids: np.ndarray,
     closed = [f.path for f in files if f._h is None and not hasattr(f, "_arr")]
     if closed:  # closed native files would mis-route to the _arr fallback
         raise ValueError(f"gather_multi on closed NativeRecordFile(s): {closed}")
+    for f in files[1:]:
+        # the output stride is uniform — mixed record shapes would make the
+        # native path write with the wrong stride (heap overflow / garbage)
+        if f.record_shape != f0.record_shape or f.dtype != f0.dtype:
+            raise ValueError(
+                "gather_multi needs identical record shapes/dtypes: "
+                f"{f0.path}={f0.record_shape}/{f0.dtype} vs "
+                f"{f.path}={f.record_shape}/{f.dtype}"
+            )
+    if len(indices):
+        counts = np.asarray([f.count for f in files], np.int64)
+        if int(file_ids.min()) < 0 or int(file_ids.max()) >= len(files):
+            raise IndexError(f"file_ids out of range [0, {len(files)})")
+        if (indices < 0).any() or (indices >= counts[file_ids]).any():
+            raise IndexError("record indices out of range for their files")
     if lib is not None and all(f._h is not None for f in files):
         handles = (ctypes.c_void_p * len(files))(*[f._h for f in files])
         if nthreads <= 0:

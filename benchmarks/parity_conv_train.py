@@ -165,12 +165,19 @@ def run_image_parity(epochs=40, seed=0, size=8, anneal=10, arch=None,
     src = ClassConditionalSource(imgs, labels, [0, 1], batch, use_logits=True)
     h, w, xy_d = src.xy_shape
 
-    # pre-generate the SAME epoch batch streams for both implementations
-    streams = []
+    # the SAME epoch batch streams feed both implementations: src.epoch is
+    # fully determined by (key, epoch), so regenerate per epoch from a fixed
+    # key chain instead of materializing the whole run's batches up front
+    # (600 flagship epochs would hold ~0.5 GB resident for hours)
+    epoch_keys = []
     key = jax.random.PRNGKey(seed + 7)
     for ep in range(epochs):
         key, k = jax.random.split(key)
-        streams.append([np.asarray(b) for b in src.epoch(k, ep)])
+        epoch_keys.append(k)
+
+    def stream(ep):
+        return [np.asarray(b) for b in src.epoch(epoch_keys[ep], ep)]
+
     anneal = int(anneal)
 
     def alpha_of(ep):
@@ -211,7 +218,7 @@ def run_image_parity(epochs=40, seed=0, size=8, anneal=10, arch=None,
     for ep in range(epochs):
         losses = [
             [float(x) for x in rstep(tf.constant(noisy(ep, i, b)))]
-            for i, b in enumerate(streams[ep])
+            for i, b in enumerate(stream(ep))
         ]
         ref_hist.append(np.mean(losses, axis=0))
     ref_secs = time.time() - t0
@@ -231,7 +238,7 @@ def run_image_parity(epochs=40, seed=0, size=8, anneal=10, arch=None,
     kdummy = jax.random.PRNGKey(0)
     for ep in range(epochs):
         vals = []
-        for i, b in enumerate(streams[ep]):
+        for i, b in enumerate(stream(ep)):
             state, out = step(state, jnp.asarray(noisy(ep, i, b)), kdummy,
                               jnp.float32(1.0))
             vals.append([float(out[k]) for k in ("loss", "z_loss", "y_loss", "detJ_loss")])

@@ -187,7 +187,11 @@ def train_parity(
     total = annealing_epochs + epochs
     for ep in range(total):
         alpha = ep / annealing_epochs if ep < annealing_epochs else 1.0
+        # k_noise is unused (both sides draw noise from the numpy rng keyed
+        # by (ep, i) below) but KEPT: dropping the 3-way split would shift
+        # the k_ep stream and invalidate the recorded parity numbers
         key, k_ep, k_noise = jax.random.split(key, 3)
+        del k_noise
         losses = []
         for i, b in enumerate(epoch_batches(k_ep)):
             noisy = b.copy()

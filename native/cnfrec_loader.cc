@@ -76,18 +76,41 @@ struct Handle {
   std::string header_json;
 };
 
-// minimal JSON field extraction (the header is machine-written, flat)
+// minimal JSON field extraction (the header is machine-written, flat).
+// Matches the key at TOP LEVEL only (brace depth 1, outside strings): the
+// header's free-form "extra" dict may contain identically-named keys (e.g.
+// extra={"crc32": ...}), and a naive first-occurrence match would read the
+// nested value instead of the real checksum.
 bool find_int_field(const std::string& j, const char* key, int64_t* out) {
   std::string pat = std::string("\"") + key + "\":";
-  auto p = j.find(pat);
-  if (p == std::string::npos) return false;
-  p += pat.size();
-  while (p < j.size() && (j[p] == ' ')) ++p;
-  if (p < j.size() && (isdigit(j[p]) || j[p] == '-')) {
-    *out = strtoll(j.c_str() + p, nullptr, 10);
-    return true;
+  int depth = 0;
+  bool in_str = false;
+  for (size_t i = 0; i < j.size(); ++i) {
+    char c = j[i];
+    if (in_str) {
+      if (c == '\\') ++i;           // skip escaped char
+      else if (c == '"') {
+        // closing quote — unless this quote STARTS a top-level key match
+        in_str = false;
+      }
+      continue;
+    }
+    if (c == '{' || c == '[') { ++depth; continue; }
+    if (c == '}' || c == ']') { --depth; continue; }
+    if (c == '"') {
+      if (depth == 1 && j.compare(i, pat.size(), pat) == 0) {
+        size_t p = i + pat.size();
+        while (p < j.size() && j[p] == ' ') ++p;
+        if (p < j.size() && (isdigit(j[p]) || j[p] == '-')) {
+          *out = strtoll(j.c_str() + p, nullptr, 10);
+          return true;
+        }
+        return false;  // null or non-numeric
+      }
+      in_str = true;
+    }
   }
-  return false;  // null or non-numeric
+  return false;
 }
 
 int64_t dtype_itemsize(const std::string& j) {
@@ -150,10 +173,18 @@ void* cnf_open(const char* path) {
   }
   uint64_t hlen;
   memcpy(&hlen, h->base + 8, 8);  // little-endian host assumed (x86/arm64)
+  // bounds-validate everything derived from file content BEFORE reading it:
+  // a truncated/corrupt file must fail cnf_open (caught as IOError in
+  // Python, like the pure-Python reader) — not SIGBUS the process later
+  if (hlen > h->file_size - 16) {
+    munmap(const_cast<uint8_t*>(h->base), h->file_size);
+    close(h->fd);
+    delete h;
+    return nullptr;
+  }
   h->header_json.assign(reinterpret_cast<const char*>(h->base + 16), hlen);
   size_t off = 16 + hlen;
   off += (kAlign - off % kAlign) % kAlign;
-  h->data = h->base + off;
 
   if (!find_int_field(h->header_json, "count", &h->count)) h->count = 0;
   int64_t itemsize = dtype_itemsize(h->header_json);
@@ -162,6 +193,16 @@ void* cnf_open(const char* path) {
   int64_t crc;
   h->has_crc = find_int_field(h->header_json, "crc32", &crc);
   if (h->has_crc) h->stored_crc = static_cast<uint32_t>(crc);
+  // the declared blob must actually fit in the file
+  uint64_t blob = static_cast<uint64_t>(h->count) * h->record_bytes;
+  if (h->count < 0 || h->record_bytes <= 0 || off > h->file_size ||
+      blob > h->file_size - off) {
+    munmap(const_cast<uint8_t*>(h->base), h->file_size);
+    close(h->fd);
+    delete h;
+    return nullptr;
+  }
+  h->data = h->base + off;
   return h;
 }
 
@@ -182,11 +223,9 @@ const char* cnf_header_json(void* vh) {
 }
 const void* cnf_data_ptr(void* vh) { return static_cast<Handle*>(vh)->data; }
 
-// Multi-threaded CRC32 over the blob; returns 1 if ok (or no CRC stored),
-// 0 on mismatch. Chunked combine is unnecessary — we CRC serially per thread
-// over contiguous ranges and combine via crc32_combine-free approach:
-// simplest correct approach is serial CRC; parallelism only for big files
-// via slicing would need crc32_combine, so do serial (still >1 GB/s).
+// Serial CRC32 over the blob; returns 1 if ok (or no CRC stored), 0 on
+// mismatch. Parallel slicing would need crc32_combine for no practical gain
+// — the serial table pass already runs >1 GB/s.
 int cnf_verify_crc(void* vh) {
   auto h = static_cast<Handle*>(vh);
   if (!h->has_crc) return 1;

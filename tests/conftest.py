@@ -7,12 +7,19 @@ must update the config here — and we must do it before the first backend use.
 """
 
 import os
+import re
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# the suite's sharding/mesh tests are written against exactly 8 virtual
+# devices — REPLACE any pre-existing count (a shell with ...count=4 exported
+# would otherwise silently run a different mesh shape)
+flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+",
+    "",
+    os.environ.get("XLA_FLAGS", ""),
+)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

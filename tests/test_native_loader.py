@@ -134,3 +134,57 @@ def test_native_crc32c_known_vector_and_python_agreement(rng):
         for b in mv[n8:]:
             crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
         assert (crc ^ 0xFFFFFFFF) == native_loader.crc32c_native(data)
+
+
+def test_truncated_file_rejected(tmp_path, rng):
+    """A file truncated mid-header or mid-blob must fail cnf_open cleanly
+    (IOError), not SIGBUS later."""
+    arr = rng.normal(size=(20, 4, 4, 2)).astype(np.float32)
+    path = str(tmp_path / "t.cnfrec")
+    records.write_records(path, arr)
+    full = open(path, "rb").read()
+    for cut in (12, 20, len(full) - 100):  # header-length, header, blob
+        p2 = str(tmp_path / f"cut{cut}.cnfrec")
+        with open(p2, "wb") as f:
+            f.write(full[:cut])
+        if native_loader.native_available():
+            with pytest.raises(IOError):
+                native_loader.NativeRecordFile(p2)
+
+
+def test_extra_crc32_key_does_not_shadow_checksum(tmp_path, rng):
+    """The header's free-form extra dict may contain a key named crc32; the
+    native parser must read the TOP-LEVEL checksum (first-occurrence
+    matching read the nested one and failed verification on valid files)."""
+    arr = rng.normal(size=(10, 3, 3, 1)).astype(np.float32)
+    path = str(tmp_path / "x.cnfrec")
+    records.write_records(path, arr, extra={"crc32": 1, "count": 999})
+    f = native_loader.NativeRecordFile(path, verify=True)  # must not raise
+    assert f.count == 10  # and count must not be shadowed either
+    np.testing.assert_array_equal(f.gather(np.arange(10)), arr)
+    f.close()
+
+
+def test_out_of_range_indices_raise(record_file):
+    path, _ = record_file
+    f = native_loader.NativeRecordFile(path)
+    with pytest.raises(IndexError):
+        f.gather(np.array([0, 100]))  # count == 100
+    with pytest.raises(IndexError):
+        f.gather(np.array([-1]))
+    with pytest.raises(IndexError):
+        native_loader.gather_multi([f], np.zeros(1, np.int32), np.array([100]))
+    f.close()
+
+
+def test_gather_multi_mixed_shapes_rejected(tmp_path, rng):
+    a = rng.normal(size=(4, 2, 2, 1)).astype(np.float32)
+    b = rng.normal(size=(4, 3, 3, 1)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.cnfrec"), str(tmp_path / "b.cnfrec")
+    records.write_records(pa, a)
+    records.write_records(pb, b)
+    fa, fb = native_loader.NativeRecordFile(pa), native_loader.NativeRecordFile(pb)
+    with pytest.raises(ValueError, match="identical record shapes"):
+        native_loader.gather_multi([fa, fb], np.array([1], np.int32), np.array([0]))
+    fa.close()
+    fb.close()

@@ -236,9 +236,9 @@ def _chain_maths(jnp_pad):
 
 
 def probe_resblock_chain(B=128, H=28, W=28, K=64, card=8, dils=(1, 2, 4),
-                         T=4, dtype=jnp.bfloat16, interpret=False,
-                         branch_mode="dense"):
-    """lrelu -> 1x1 -> lrelu -> dilated grouped branches -> lrelu -> 1x1 -> +sc."""
+                         T=4, dtype=jnp.bfloat16, interpret=False):
+    """lrelu -> 1x1 -> lrelu -> dilated grouped branches (dense-expanded
+    block-diagonal kernels) -> lrelu -> 1x1 -> +sc."""
     ksize = 3
     rng = np.random.default_rng(0)
     widths = [K // d for d in dils]
@@ -293,7 +293,6 @@ def probe_resblock_chain(B=128, H=28, W=28, K=64, card=8, dils=(1, 2, 4),
             [r[:] for r in wp_refs], pad_val,
         )
 
-    n_in = 1 + 2 * len(dils)
     fn = pl.pallas_call(
         kernel,
         grid=(B // T,),
@@ -309,8 +308,6 @@ def probe_resblock_chain(B=128, H=28, W=28, K=64, card=8, dils=(1, 2, 4),
         ),
         interpret=interpret,
     )
-    del n_in
-
     def pallas_fn(x):
         return fn(x, w1, *wbs, *wposts)
 

@@ -1,0 +1,283 @@
+"""Flagship-arch full-budget (600-epoch) training parity, split into
+independently runnable halves so the ~5 h reference TF/CPU leg can run in the
+background while the JAX leg runs elsewhere (CPU or TPU).
+
+Reproduces EXACTLY the stream of `parity_conv_train.run_image_parity(
+epochs=600, size=28, batch=32, layer_norm=True, num_per_class=64, anneal=100,
+arch=flagship)` — the reference driver's full budget (conv_cINN.py:116
+num_annealing_epochs=100 + :119 num_epochs=500) on its flagship arch
+(conv_cINN.py:56-65: squeeze_factor=[0,1,0,0], NRB=[3,3,3,3],
+NK=[64,64,32,32], C=[8,8,4,4], ksize 3, LayerNorm, batch 32) — but
+materializes the byte-identical noisy batch stream ONCE to an .npy memmap so
+the two implementations can consume it from separate processes.
+
+Usage:
+  python benchmarks/flagship_split.py gen  [epochs]          # build stream
+  python benchmarks/flagship_split.py ref  [epochs]          # TF reference
+  python benchmarks/flagship_split.py ours [epochs] [cpu|tpu]
+  python benchmarks/flagship_split.py merge [epochs]         # -> results json
+
+Each training leg appends one JSON line per epoch to
+benchmarks/results/flagship600_{ref|ours}.jsonl (resume-safe reporting: a
+partial run still yields a trajectory). `merge` combines both logs into
+benchmarks/results/conv_train_parity.json under key "image_flagship_600".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+STREAM_PATH = os.path.join(RESULTS_DIR, "flagship600_stream.npy")
+
+SEED = 0
+SIZE = 28
+BATCH = 32
+NUM_PER_CLASS = 64
+ANNEAL = 100  # min(100, max(4, 600 // 6)) for the 600-epoch budget
+LR = 3e-4
+ARCH = ((0, 1, 0, 0), (3, 3, 3, 3), (64, 64, 32, 32), (8, 8, 4, 4))
+XY_SHAPE = (SIZE, SIZE, 2)
+BATCHES_PER_EPOCH = 4  # 2 classes x (64 // 32) class-pure batches
+
+
+def _noisy(ep: int, i: int, b: np.ndarray) -> np.ndarray:
+    """Annealing noise, identical to parity_conv_train.run_image_parity."""
+    a = ep / ANNEAL if ep < ANNEAL else 1.0
+    if a >= 1.0:
+        return np.asarray(b, np.float32)
+    eps = np.random.default_rng(ep * 1000 + i).normal(size=b.shape)
+    return (a * b + (1 - a) * eps).astype(np.float32)
+
+
+def gen(epochs: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+        synthetic_digits,
+    )
+
+    imgs, labels = synthetic_digits(
+        num_per_class=NUM_PER_CLASS, num_classes=2, size=SIZE
+    )
+    src = ClassConditionalSource(imgs, labels, [0, 1], BATCH, use_logits=True)
+    assert src.xy_shape == XY_SHAPE and src.num_batches == BATCHES_PER_EPOCH
+
+    # the SAME epoch-key chain as run_image_parity (prefix-stable in epochs)
+    epoch_keys = []
+    key = jax.random.PRNGKey(SEED + 7)
+    for _ in range(epochs):
+        key, k = jax.random.split(key)
+        epoch_keys.append(k)
+
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    out = np.lib.format.open_memmap(
+        STREAM_PATH,
+        mode="w+",
+        dtype=np.float32,
+        shape=(epochs, BATCHES_PER_EPOCH, BATCH) + XY_SHAPE,
+    )
+    t0 = time.time()
+    for ep in range(epochs):
+        for i, b in enumerate(src.epoch(epoch_keys[ep], ep)):
+            out[ep, i] = _noisy(ep, i, np.asarray(b))
+        if ep % 100 == 0:
+            print(f"gen epoch {ep}/{epochs} ({time.time() - t0:.0f}s)", flush=True)
+    out.flush()
+    print(f"stream written: {STREAM_PATH} ({out.nbytes / 1e6:.0f} MB)", flush=True)
+
+
+def _stream(epochs: int) -> np.ndarray:
+    mm = np.load(STREAM_PATH, mmap_mode="r")
+    assert mm.shape[0] >= epochs, f"stream has {mm.shape[0]} epochs, need {epochs}"
+    return mm
+
+
+def _log_path(impl: str) -> str:
+    return os.path.join(RESULTS_DIR, f"flagship600_{impl}.jsonl")
+
+
+def _append(impl: str, row: dict) -> None:
+    with open(_log_path(impl), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def run_ref(epochs: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tensorflow as tf
+
+    from reference_shim import import_conv_reference
+
+    cref = import_conv_reference()
+    sf, nrb, nk, card = ARCH
+    tf.random.set_seed(SEED)
+    np.random.seed(SEED)
+    m = cref.cFlow(
+        io_shape=list(XY_SHAPE), x_d=1, squeeze_factor_block_list=list(sf),
+        ResNeXt_block_list=list(nrb), num_kernels_list=list(nk),
+        cardinality_list=list(card), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=True,
+    )
+    opt = tf.keras.optimizers.Adam(LR)
+    var = []
+    for l in m.layers_list:
+        if isinstance(l, cref.coupling_layer):
+            var += l.model_A.trainable_variables + l.model_b.trainable_variables
+
+    @tf.function
+    def rstep(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss, lz, ly, ldj
+
+    mm = _stream(epochs)
+    t0 = time.time()
+    for ep in range(epochs):
+        vals = [
+            [float(x) for x in rstep(tf.constant(np.ascontiguousarray(mm[ep, i])))]
+            for i in range(BATCHES_PER_EPOCH)
+        ]
+        mean = np.mean(vals, axis=0)
+        _append("ref", {
+            "epoch": ep + 1,
+            "loss": round(float(mean[0]), 3),
+            "z_loss": round(float(mean[1]), 3),
+            "y_loss": round(float(mean[2]), 3),
+            "detJ_loss": round(float(mean[3]), 3),
+            "t": round(time.time() - t0, 1),
+        })
+    print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
+
+
+def run_ours(epochs: int, platform: str = "cpu") -> None:
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # f32 fidelity on the MXU: 'highest' keeps trajectories in the same
+        # numeric band as the CPU/TF reference (PARITY.md transplant caveat)
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ConvCFlow,
+        ConvFlowConfig,
+    )
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        make_step_fns,
+    )
+
+    sf, nrb, nk, card = ARCH
+    cfg = ConvFlowConfig(
+        io_shape=XY_SHAPE, x_d=1, squeeze_factor_blocks=sf, res_blocks=nrb,
+        num_kernels=nk, cardinality=card, ksize=3, layer_norm=True,
+        ref_compat_group_slice=True,
+    )
+    model = ConvCFlow(cfg)
+    state = create_train_state(model, jnp.zeros((1,) + XY_SHAPE), LR, seed=SEED)
+    step, _ = make_step_fns(model, noise_mode="none")
+    mm = _stream(epochs)
+    kdummy = jax.random.PRNGKey(0)
+    one = jnp.float32(1.0)
+    t0 = time.time()
+    for ep in range(epochs):
+        vals = []
+        for i in range(BATCHES_PER_EPOCH):
+            state, out = step(state, jnp.asarray(mm[ep, i]), kdummy, one)
+            vals.append([
+                float(out[k]) for k in ("loss", "z_loss", "y_loss", "detJ_loss")
+            ])
+        mean = np.mean(vals, axis=0)
+        _append("ours", {
+            "epoch": ep + 1,
+            "loss": round(float(mean[0]), 3),
+            "z_loss": round(float(mean[1]), 3),
+            "y_loss": round(float(mean[2]), 3),
+            "detJ_loss": round(float(mean[3]), 3),
+            "platform": platform,
+            "t": round(time.time() - t0, 1),
+        })
+    print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
+          flush=True)
+
+
+def merge(epochs: int) -> None:
+    def read(impl):
+        rows = {}
+        with open(_log_path(impl)) as f:
+            for line in f:
+                r = json.loads(line)
+                rows[r["epoch"]] = r  # last write wins on restart overlap
+        return [rows[e] for e in sorted(rows)]
+
+    ref, ours = read("ref"), read("ours")
+    n = min(len(ref), len(ours))
+    marks = sorted({min(e, n - 1) for e in (0, 9, 49, 99, 149, 299, 449, n - 1)})
+    names = ("loss", "z_loss", "y_loss", "detJ_loss")
+
+    def side(rows):
+        losses = [r["loss"] for r in rows[:n]]
+        return {
+            "final": {k: rows[n - 1][k] for k in names},
+            "best_loss": min(losses),
+            "loss_trajectory": [round(losses[m], 2) for m in marks],
+            "seconds": rows[n - 1]["t"],
+        }
+
+    out = {
+        "task": "class-conditional 28x28 synthetic, identical batches, "
+                "FLAGSHIP arch (conv_cINN.py:56-65), full 600-epoch budget",
+        "epochs": n,
+        "annealing_epochs": ANNEAL,
+        "loss_trajectory_epochs": [m + 1 for m in marks],
+        "reference": side(ref),
+        "ours": side(ours),
+        "ours_platform": ours[0].get("platform", "cpu"),
+    }
+    print(json.dumps(out, indent=2))
+    path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing["image_flagship_600"] = out
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
+
+
+def main():
+    cmd = sys.argv[1]
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    if cmd == "gen":
+        gen(epochs)
+    elif cmd == "ref":
+        run_ref(epochs)
+    elif cmd == "ours":
+        run_ours(epochs, sys.argv[3] if len(sys.argv) > 3 else "cpu")
+    elif cmd == "merge":
+        merge(epochs)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
+
+

@@ -199,33 +199,86 @@ class ClassConditionalSource:
         h, w = self._x.shape[1:3]
         self.xy_shape = (h, w, self._x.shape[3] + 1)
 
-    def epoch(self, key, epoch_idx: int = 0):
-        """Yield shuffled class-pure xy batches with a fresh 2% noise floor."""
-        k_perm, k_shuf, k_noise = jax.random.split(
-            jax.random.fold_in(key, epoch_idx), 3
-        )
-        order = np.asarray(jax.random.permutation(k_perm, self.num_batches))
-        # example-level shuffle within each class: slots stay class-pure
-        # (class ranges are multiples of batch_size) but their membership
-        # changes every epoch
+    def _epoch_keys(self, key, epoch_idx: int):
+        return jax.random.split(jax.random.fold_in(key, epoch_idx), 3)
+
+    def _example_perm(self, k_shuf) -> np.ndarray:
+        """Example-level shuffle within each class: slots stay class-pure
+        (class ranges are multiples of batch_size) but their membership
+        changes every epoch."""
         perm = np.empty(len(self._x), np.int64)
         for ci, (s, e) in enumerate(self._class_bounds):
             kc = jax.random.fold_in(k_shuf, ci)
             perm[s:e] = s + np.asarray(jax.random.permutation(kc, e - s))
+        return perm
+
+    def _slot_batch(self, slot: int, perm: np.ndarray, k_noise):
+        """Materialize one class-pure xy batch for a slot index, with the
+        slot-keyed 2% noise floor."""
         b = self.batch_size
         h, w = self.xy_shape[:2]
+        idx = perm[int(slot) * b : (int(slot) + 1) * b]
+        x = jnp.asarray(self._x[idx])
+        yplane = jnp.broadcast_to(
+            jnp.asarray(self._y[idx])[:, None, None, None], (b, h, w, 1)
+        )
+        xy = jnp.concatenate([x, yplane], axis=-1)
+        if self.noise_floor_alpha < 1.0:
+            k = jax.random.fold_in(k_noise, int(slot))
+            eps = jax.random.normal(k, xy.shape, xy.dtype)
+            xy = self.noise_floor_alpha * xy + (1 - self.noise_floor_alpha) * eps
+        return xy
+
+    def epoch(self, key, epoch_idx: int = 0):
+        """Yield shuffled class-pure xy batches with a fresh 2% noise floor."""
+        k_perm, k_shuf, k_noise = self._epoch_keys(key, epoch_idx)
+        order = np.asarray(jax.random.permutation(k_perm, self.num_batches))
+        perm = self._example_perm(k_shuf)
         for slot in order:
-            idx = perm[int(slot) * b : (int(slot) + 1) * b]
-            x = jnp.asarray(self._x[idx])
-            yplane = jnp.broadcast_to(
-                jnp.asarray(self._y[idx])[:, None, None, None], (b, h, w, 1)
-            )
-            xy = jnp.concatenate([x, yplane], axis=-1)
-            if self.noise_floor_alpha < 1.0:
-                k = jax.random.fold_in(k_noise, int(slot))
-                eps = jax.random.normal(k, xy.shape, xy.dtype)
-                xy = self.noise_floor_alpha * xy + (1 - self.noise_floor_alpha) * eps
-            yield xy
+            yield self._slot_batch(int(slot), perm, k_noise)
+
+    def slot_groups(self, num_shards: int):
+        """Class-pure slot groups for multi-host feeding: each group is
+        ``num_shards`` slots of the SAME class, so the assembled global batch
+        (num_shards * batch_size rows) stays class-pure — the multi-host form
+        of the reference's class-segregated batching (conv_cINN.py:271-304;
+        SURVEY.md §7 hard part 5). Per-class remainder slots (< num_shards)
+        are dropped."""
+        b = self.batch_size
+        groups = []
+        for s, e in self._class_bounds:
+            slots = list(range(s // b, e // b))
+            for g in range(len(slots) // num_shards):
+                groups.append(slots[g * num_shards : (g + 1) * num_shards])
+        return groups
+
+    def epoch_distributed(
+        self, key, epoch_idx: int, num_shards: int, shard_id: int
+    ):
+        """This host's slice of a globally class-pure epoch.
+
+        Every host derives the IDENTICAL epoch schedule from the shared key
+        (group composition, group order, example shuffle), then materializes
+        only its own slot of each global batch group; assembling the shards
+        with ``parallel.shard_batch`` (make_array_from_process_local_data)
+        yields global batches that are class-pure across hosts. With
+        ``num_shards == 1`` this is exactly :meth:`epoch`.
+        """
+        if num_shards == 1:
+            yield from self.epoch(key, epoch_idx)
+            return
+        assert 0 <= shard_id < num_shards
+        k_perm, k_shuf, k_noise = self._epoch_keys(key, epoch_idx)
+        groups = self.slot_groups(num_shards)
+        assert groups, (
+            f"no class has {num_shards} class-pure batches per epoch — every "
+            f"global batch group would be empty (per-class slot counts: "
+            f"{[(e - s) // self.batch_size for s, e in self._class_bounds]})"
+        )
+        order = np.asarray(jax.random.permutation(k_perm, len(groups)))
+        perm = self._example_perm(k_shuf)
+        for gi in order:
+            yield self._slot_batch(groups[int(gi)][shard_id], perm, k_noise)
 
 
 @dataclasses.dataclass
@@ -255,6 +308,36 @@ class SRSource:
         order = np.asarray(jax.random.permutation(k_perm, len(self._xy)))
         b = self.batch_size
         for i in range(self.num_batches):
+            xy = jnp.asarray(self._xy[order[i * b : (i + 1) * b]])
+            if self.noise_floor_alpha < 1.0:
+                k = jax.random.fold_in(k_noise, i)
+                eps = jax.random.normal(k, xy.shape, xy.dtype)
+                xy = self.noise_floor_alpha * xy + (1 - self.noise_floor_alpha) * eps
+            yield xy
+
+    def epoch_distributed(
+        self, key, epoch_idx: int, num_shards: int, shard_id: int
+    ):
+        """This host's slice of a globally example-shuffled epoch: global
+        batch = ``num_shards`` consecutive local batches of the shared epoch
+        permutation (SR conditioning is continuous — no class-purity
+        constraint, conv_cINN.py:412-508); a trailing group of fewer than
+        ``num_shards`` batches is dropped.  With ``num_shards == 1`` this is
+        exactly :meth:`epoch`."""
+        if num_shards == 1:
+            yield from self.epoch(key, epoch_idx)
+            return
+        assert 0 <= shard_id < num_shards
+        k_perm, k_noise = jax.random.split(jax.random.fold_in(key, epoch_idx))
+        order = np.asarray(jax.random.permutation(k_perm, len(self._xy)))
+        b = self.batch_size
+        num_groups = self.num_batches // num_shards
+        assert num_groups > 0, (
+            f"dataset has {self.num_batches} batches per epoch, fewer than "
+            f"the {num_shards} hosts — every global batch would be empty"
+        )
+        for g in range(num_groups):
+            i = g * num_shards + shard_id
             xy = jnp.asarray(self._xy[order[i * b : (i + 1) * b]])
             if self.noise_floor_alpha < 1.0:
                 k = jax.random.fold_in(k_noise, i)

@@ -173,6 +173,38 @@ class ToyDataset:
             cls = slot % n_classes
             yield self.sample_class_batch(keys[slot], cls, batch_size)
 
+    def epoch_iterator_distributed(
+        self, key, num_batches_per_class, batch_size, num_shards, shard_id
+    ):
+        """This host's slice of a globally class-pure epoch: each global batch
+        is ``num_shards`` class-pure slots of the SAME class (slot = class +
+        n_classes * j), so assembling the shards keeps every global batch
+        single-class — the multi-host form of the reference's
+        batch-then-shuffle (TOYcINN_make_datasets.py:265-268). Per-class
+        remainder slots are dropped; with ``num_shards == 1`` this is exactly
+        :meth:`epoch_iterator`."""
+        if num_shards == 1:
+            yield from self.epoch_iterator(key, num_batches_per_class, batch_size)
+            return
+        assert 0 <= shard_id < num_shards
+        n_classes = len(self.class_labels)
+        num_batches = num_batches_per_class * n_classes
+        k_perm, k_data = jax.random.split(key)
+        keys = jax.random.split(k_data, num_batches)
+        groups = []
+        for cls in range(n_classes):
+            slots = [cls + n_classes * j for j in range(num_batches_per_class)]
+            for g in range(len(slots) // num_shards):
+                groups.append(slots[g * num_shards : (g + 1) * num_shards])
+        assert groups, (
+            f"{num_batches_per_class} batches per class is fewer than the "
+            f"{num_shards} hosts — every global batch group would be empty"
+        )
+        order = jax.random.permutation(k_perm, len(groups))
+        for gi in order:
+            slot = groups[int(gi)][shard_id]
+            yield self.sample_class_batch(keys[slot], slot % n_classes, batch_size)
+
     def epoch_array(self, key, num_batches_per_class, batch_size):
         """Whole epoch at once: (num_batches, batch_size, 3), batches
         class-pure, order shuffled. Vectorized; preferred on TPU."""

@@ -66,6 +66,13 @@ def build_parser():
     p.add_argument("--outdir", default="conv_run")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                   "jax.distributed.initialize; implies --data-parallel")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--scan-steps", type=int, default=0,
                    help="fuse N optimizer steps into one XLA program "
                    "(train.make_scan_train_step) — amortizes per-batch "
@@ -130,6 +137,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host bring-up MUST precede any backend touch (parallel.mesh)
+    from arl_conditional_normalizing_flows_tpu.parallel import (
+        initialize_distributed,
+    )
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax
     import jax.numpy as jnp
 
@@ -152,10 +165,16 @@ def main(argv=None):
         make_step_fns,
     )
 
+    nproc, rank = jax.process_count(), jax.process_index()
+    if nproc > 1:
+        args.data_parallel = True  # multi-host is meaningless unsharded
+    is_main = rank == 0
+
     os.makedirs(args.outdir, exist_ok=True)
     from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
 
-    write_run_metadata(args.outdir, args)
+    if is_main:
+        write_run_metadata(args.outdir, args)
     train_x, train_y = load_arrays(args, "train")
     val_x, val_y = load_arrays(args, "test")
 
@@ -204,7 +223,10 @@ def main(argv=None):
         model, jnp.zeros((1, h, w, xy_d)), args.lr, seed=args.seed
     )
     ckpt_dir = os.path.join(args.outdir, "checkpoints")
-    mgr = CheckpointManager(ckpt_dir, config=cfg)
+    # orbax checkpointing stays on the single-process path; multi-host runs
+    # save a rank-0 npz of the (replicated) params instead and warm-start
+    # from npz weights
+    mgr = CheckpointManager(ckpt_dir, config=cfg) if nproc == 1 else None
     initial_epoch = 0
     if args.load:
         if args.load.endswith(".npz"):
@@ -223,45 +245,74 @@ def main(argv=None):
                 )
             state = state.replace(params=load_params_npz(args.load, state.params))
         else:
+            assert nproc == 1, (
+                "--load from an orbax checkpoint dir is single-process; "
+                "multi-host warm starts use npz weights"
+            )
             # create=False: --load with a bad path raises instead of minting
             # an empty checkpoint dir and training from scratch
             ep, state = CheckpointManager(
                 args.load, config=cfg, create=False
             ).restore(state)
             print(f"restored epoch {ep} from {args.load}")
-    elif mgr.latest_epoch() is not None:
+    elif mgr is not None and mgr.latest_epoch() is not None:
         ep, state = mgr.restore(state)
         initial_epoch = ep + 1
         print(f"resuming from epoch {ep}")
 
+    if nproc > 1:
+        # every rank holds the identical state; assemble it into replicated
+        # global arrays over the multi-host mesh
+        from jax.sharding import PartitionSpec as P
+
+        from arl_conditional_normalizing_flows_tpu.parallel import shard_batch
+
+        state = shard_batch(state, mesh, spec=P())
+
     _, eval_step = make_step_fns(model, mesh=mesh, noise_mode="full")
+    # per-host slice of the globally class-pure epoch (num_shards=1 -> epoch)
+    train_epoch = lambda k, e: train_src.epoch_distributed(k, e, nproc, rank)
+    val_epoch = lambda k, e: val_src.epoch_distributed(k, e, nproc, rank)
+    per_host_batches = (
+        len(train_src.slot_groups(nproc))
+        if hasattr(train_src, "slot_groups") and nproc > 1
+        else train_src.num_batches // nproc
+    )
     fit_mesh = mesh
+    batch_spec = None
     if args.scan_steps > 1:
         from arl_conditional_normalizing_flows_tpu.train import (
             epoch_stacks,
             make_scan_train_step,
         )
 
-        assert train_src.num_batches >= args.scan_steps, (
-            f"--scan-steps {args.scan_steps} exceeds the {train_src.num_batches} "
+        assert per_host_batches >= args.scan_steps, (
+            f"--scan-steps {args.scan_steps} exceeds the {per_host_batches} "
             "batches per epoch — every epoch would be empty"
         )
         train_step = make_scan_train_step(
             model, args.scan_steps, mesh=mesh, noise_mode="full"
         )
         train_feed = lambda k, e: epoch_stacks(
-            train_src.epoch(k, e), args.scan_steps
+            train_epoch(k, e), args.scan_steps
         )
-        # stacks are (inner, batch, ...): the batch axis is axis 1, so fit's
-        # per-item axis-0 sharding would be wrong — the jitted step's
-        # in_shardings (P(None, "data")) place the uncommitted stacks instead
-        fit_mesh = None
+        if nproc == 1:
+            # stacks are (inner, batch, ...): the batch axis is axis 1, so
+            # fit's per-item axis-0 sharding would be wrong — the jitted
+            # step's in_shardings (P(None, "data")) place the uncommitted
+            # stacks instead
+            fit_mesh = None
+        else:
+            # multi-host stacks must be assembled into global arrays
+            from jax.sharding import PartitionSpec as P
+
+            batch_spec = P(None, "data")
     else:
         train_step, _ = make_step_fns(model, mesh=mesh, noise_mode="full")
-        train_feed = lambda k, e: train_src.epoch(k, e)
+        train_feed = train_epoch
     history = HistoryLogger(
-        csv_path=os.path.join(args.outdir, "history.csv"),
-        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+        csv_path=os.path.join(args.outdir, "history.csv") if is_main else None,
+        jsonl_path=os.path.join(args.outdir, "history.jsonl") if is_main else None,
     )
     res = fit(
         state,
@@ -271,32 +322,53 @@ def main(argv=None):
         num_epochs=args.epochs,
         num_annealing_epochs=args.annealing_epochs,
         eval_step=eval_step,
-        val_epoch_fn=lambda k, e: val_src.epoch(k, e),
+        val_epoch_fn=val_epoch,
         patience=args.patience,
         monitor="val_loss",
         history=history,
         mesh=fit_mesh,
+        batch_spec=batch_spec,
         initial_epoch=initial_epoch,
-        checkpoint_fn=lambda ep, st: mgr.save(ep, st),
-        checkpoint_every=args.checkpoint_every,
+        checkpoint_fn=(lambda ep, st: mgr.save(ep, st)) if mgr else None,
+        checkpoint_every=args.checkpoint_every if mgr else 0,
     )
-    mgr.save(res.completed_epochs - 1, res.state)
-    mgr.close()
+    if mgr is not None:
+        mgr.save(res.completed_epochs - 1, res.state)
+        mgr.close()
+    final_params = jax.tree_util.tree_map(np.asarray, res.state.params)
+    if nproc > 1 and is_main:
+        from arl_conditional_normalizing_flows_tpu.train import save_params_npz
 
-    # bits/dim on the validation NLL (the parity metric, BASELINE.md)
+        save_params_npz(
+            os.path.join(args.outdir, "weights.npz"),
+            final_params,
+            extra={"arch": np.asarray(arch_string(cfg))},
+        )
+
+    # bits/dim on the validation NLL (the parity metric, BASELINE.md).
+    # NOTE on accounting: this is the NLL of the PREPROCESSED x — the
+    # noise-floored logit space the model is trained in (conv_cINN.py:246-249,
+    # :307-315) — divided by x's dims. It is the right parity metric against
+    # the reference (identical preprocessing on both sides) but NOT a
+    # literature-comparable discrete bits/dim: that would need the logit
+    # Jacobian + dequantization correction back to 8-bit pixel space, which
+    # the reference never computes. Values can legitimately be negative.
     final = history.rows[-1] if history.rows else {}
     n_x_dims = h * w * x_d
     if "val_z_loss" in final:
         nll_x = final["val_z_loss"] + final["val_detJ_loss"]
         final["val_bits_per_dim"] = nll_x / (np.log(2.0) * n_x_dims)
+        final["bits_per_dim_space"] = "noise-floored logit (parity metric)"
 
-    # conditional-sampling eval: draw x | y' and report moment statistics
-    # (the reference only eyeballs this, TOYcINN.py:321-1206)
-    final["sampling"] = _sampling_eval(args, model, res.state.params, val_src, x_d)
+    if is_main:
+        # conditional-sampling eval: draw x | y' and report moment statistics
+        # (the reference only eyeballs this, TOYcINN.py:321-1206); runs on
+        # host-local replicated params so it is multi-host safe
+        final["sampling"] = _sampling_eval(args, model, final_params, val_src, x_d)
 
-    with open(os.path.join(args.outdir, "eval.json"), "w") as f:
-        json.dump(final, f, indent=2)
-    print(json.dumps(final, indent=2))
+        with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+            json.dump(final, f, indent=2)
+        print(json.dumps(final, indent=2))
     return res
 
 

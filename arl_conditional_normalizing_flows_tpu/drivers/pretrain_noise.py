@@ -46,6 +46,15 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--outdir", default="noise_pretrain")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                   "jax.distributed.initialize; implies --data-parallel")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--scan-steps", type=int, default=0,
                    help="fuse N optimizer steps into one XLA program "
                    "(train.make_scan_train_step); drops a trailing partial "
@@ -59,6 +68,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host bring-up MUST precede any backend touch (parallel.mesh)
+    from arl_conditional_normalizing_flows_tpu.parallel import (
+        initialize_distributed,
+    )
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax
     import jax.numpy as jnp
 
@@ -77,10 +92,15 @@ def main(argv=None):
         save_params_npz,
     )
 
+    nproc, rank = jax.process_count(), jax.process_index()
+    if nproc > 1:
+        args.data_parallel = True
+    is_main = rank == 0
     os.makedirs(args.outdir, exist_ok=True)
     from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
 
-    write_run_metadata(args.outdir, args)
+    if is_main:
+        write_run_metadata(args.outdir, args)
     cfg = ConvFlowConfig(
         io_shape=(args.height, args.width, args.xy_depth),
         x_d=args.x_d,
@@ -99,9 +119,23 @@ def main(argv=None):
     model = ConvCFlow(cfg)
     shape = cfg.io_shape
     state = create_train_state(model, jnp.zeros((1,) + shape), args.lr, seed=args.seed)
-    train_step, _ = make_step_fns(model, noise_mode="none")
+    mesh = None
+    if args.data_parallel:
+        from arl_conditional_normalizing_flows_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    if nproc > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from arl_conditional_normalizing_flows_tpu.parallel import shard_batch
+
+        state = shard_batch(state, mesh, spec=P())
+    train_step, _ = make_step_fns(model, mesh=mesh, noise_mode="none")
+    # multi-host: each host contributes its own noise shard — the global batch
+    # is nproc * batch_size fresh N(0,1) draws per step (weak scaling; noise
+    # has no class structure to preserve)
     data_epoch = lambda k, e: noise_batches(
-        k, args.num_batches, args.batch_size, shape
+        jax.random.fold_in(k, rank), args.num_batches, args.batch_size, shape
     )
     if args.scan_steps > 1:
         from arl_conditional_normalizing_flows_tpu.train import (
@@ -114,16 +148,24 @@ def main(argv=None):
             "batches per epoch — every epoch would be empty"
         )
         train_step = make_scan_train_step(
-            model, args.scan_steps, noise_mode="none"
+            model, args.scan_steps, mesh=mesh, noise_mode="none"
         )
         per_batch_epoch = data_epoch
         data_epoch = lambda k, e: epoch_stacks(
             per_batch_epoch(k, e), args.scan_steps
         )
+        if nproc == 1:
+            fit_mesh, batch_spec = None, None  # uncommitted stacks; see conv.py
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            fit_mesh, batch_spec = mesh, P(None, "data")
+    else:
+        fit_mesh, batch_spec = mesh, None
 
     history = HistoryLogger(
-        csv_path=os.path.join(args.outdir, "history.csv"),
-        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+        csv_path=os.path.join(args.outdir, "history.csv") if is_main else None,
+        jsonl_path=os.path.join(args.outdir, "history.jsonl") if is_main else None,
     )
     res = fit(
         state,
@@ -133,18 +175,22 @@ def main(argv=None):
         num_epochs=args.epochs,
         patience=args.patience,
         history=history,
+        mesh=fit_mesh,
+        batch_spec=batch_spec,
     )
-    mgr = CheckpointManager(os.path.join(args.outdir, "checkpoints"), config=cfg)
-    mgr.save(res.completed_epochs - 1, res.state)
-    mgr.close()
+    if nproc == 1:
+        mgr = CheckpointManager(os.path.join(args.outdir, "checkpoints"), config=cfg)
+        mgr.save(res.completed_epochs - 1, res.state)
+        mgr.close()
     # the arch identity rides WITH the weights — the reference encodes it in
     # the filename as the pre-training -> training compatibility contract
     # (conv_pre_training_cINN_on_noise.py:47-48, README.md:98)
-    save_params_npz(
-        os.path.join(args.outdir, "conditioned_weights.npz"),
-        res.state.params,
-        extra={"arch": np.asarray(arch_string(cfg))},
-    )
+    if is_main:
+        save_params_npz(
+            os.path.join(args.outdir, "conditioned_weights.npz"),
+            jax.tree_util.tree_map(np.asarray, res.state.params),
+            extra={"arch": np.asarray(arch_string(cfg))},
+        )
     final = history.rows[-1] if history.rows else {}
     print(json.dumps(final, indent=2))
     return res

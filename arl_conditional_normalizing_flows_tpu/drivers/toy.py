@@ -54,6 +54,15 @@ def build_parser():
                    help="extra y' values (standardized) for an off-manifold "
                    "interpolation sweep (TOYcINN.py:1115-1206)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                   "jax.distributed.initialize; implies --data-parallel")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--scan-steps", type=int, default=0,
                    help="fuse N optimizer steps into one XLA program "
                    "(train.make_scan_train_step); drops a trailing partial "
@@ -67,6 +76,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host bring-up MUST precede any backend touch (parallel.mesh)
+    from arl_conditional_normalizing_flows_tpu.parallel import (
+        initialize_distributed,
+    )
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax
     import jax.numpy as jnp
 
@@ -90,10 +105,15 @@ def main(argv=None):
         save_params_npz,
     )
 
+    nproc, rank = jax.process_count(), jax.process_index()
+    if nproc > 1:
+        args.data_parallel = True
+    is_main = rank == 0
     os.makedirs(args.outdir, exist_ok=True)
     from arl_conditional_normalizing_flows_tpu.utils import write_run_metadata
 
-    write_run_metadata(args.outdir, args)
+    if is_main:
+        write_run_metadata(args.outdir, args)
     num_layers_total = 6 * args.coupling_blocks
 
     # layer-order permutation is part of the model identity (TOYcINN.py:174).
@@ -139,46 +159,76 @@ def main(argv=None):
     state = create_train_state(model, jnp.zeros((2, 3)), args.lr, seed=args.seed)
     if args.load:
         state = state.replace(params=load_params_npz(args.load, state.params))
-    train_step, eval_step = make_step_fns(model, noise_mode="x_only", x_d=cfg.x_d)
+    mesh = None
+    if args.data_parallel:
+        from arl_conditional_normalizing_flows_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    if nproc > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from arl_conditional_normalizing_flows_tpu.parallel import shard_batch
+
+        state = shard_batch(state, mesh, spec=P())
+    train_step, eval_step = make_step_fns(
+        model, mesh=mesh, noise_mode="x_only", x_d=cfg.x_d
+    )
 
     if ds is not None:
+        # per-host slice of the globally class-pure epoch (nproc=1 -> the
+        # plain batch-then-shuffle iterator)
         def data_epoch(key, epoch):
-            return ds.epoch_iterator(key, args.batches_per_class, args.batch_size)
+            return ds.epoch_iterator_distributed(
+                key, args.batches_per_class, args.batch_size, nproc, rank
+            )
+
+        per_epoch = (
+            args.batches_per_class * len(ds.class_labels)
+            if nproc == 1
+            else len(ds.class_labels) * (args.batches_per_class // nproc)
+        )
     else:
         n_batches = args.batches_per_class * 2
+        per_epoch = n_batches
 
         def data_epoch(key, epoch):
             import jax as _jax
 
-            for k in _jax.random.split(key, n_batches):
+            # continuous condition — no class structure; each host draws its
+            # own shard of the (weak-scaled) global batch
+            for k in _jax.random.split(_jax.random.fold_in(key, rank), n_batches):
                 yield toy_datasets.sample_continuous_sectors(
                     k, args.batch_size, args.sector_width
                 )
 
+    fit_mesh, batch_spec = mesh, None
     if args.scan_steps > 1:
         from arl_conditional_normalizing_flows_tpu.train import (
             epoch_stacks,
             make_scan_train_step,
         )
 
-        per_epoch = args.batches_per_class * (
-            len(ds.class_labels) if ds is not None else 2
-        )
         assert per_epoch >= args.scan_steps, (
             f"--scan-steps {args.scan_steps} exceeds the {per_epoch} batches "
             "per epoch — every epoch would be empty"
         )
         train_step = make_scan_train_step(
-            model, args.scan_steps, noise_mode="x_only", x_d=cfg.x_d
+            model, args.scan_steps, mesh=mesh, noise_mode="x_only", x_d=cfg.x_d
         )
         per_batch_epoch = data_epoch
         data_epoch = lambda key, epoch: epoch_stacks(
             per_batch_epoch(key, epoch), args.scan_steps
         )
+        if nproc == 1:
+            fit_mesh, batch_spec = None, None  # uncommitted stacks; see conv.py
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            fit_mesh, batch_spec = mesh, P(None, "data")
 
     history = HistoryLogger(
-        csv_path=os.path.join(args.outdir, "history.csv"),
-        jsonl_path=os.path.join(args.outdir, "history.jsonl"),
+        csv_path=os.path.join(args.outdir, "history.csv") if is_main else None,
+        jsonl_path=os.path.join(args.outdir, "history.jsonl") if is_main else None,
     )
     res = fit(
         state,
@@ -189,13 +239,19 @@ def main(argv=None):
         num_annealing_epochs=args.annealing_epochs,
         patience=args.patience,
         history=history,
+        mesh=fit_mesh,
+        batch_spec=batch_spec,
     )
 
-    save_params_npz(
-        os.path.join(args.outdir, "weights.npz"),
-        res.state.params,
-        extra={"mask_indices": np.asarray(order)},
-    )
+    params_np = jax.tree_util.tree_map(np.asarray, res.state.params)
+    if is_main:
+        save_params_npz(
+            os.path.join(args.outdir, "weights.npz"),
+            params_np,
+            extra={"mask_indices": np.asarray(order)},
+        )
+    if not is_main:
+        return res
 
     # conditional-sampling eval: per-class moments (the quantitative core of
     # the reference's plot harness, TOYcINN.py:321-757)
@@ -205,7 +261,7 @@ def main(argv=None):
         for ci, lab in enumerate(ds.class_labels):
             lab_std = (lab - ds.mean[2]) / ds.std[2]
             s = sample_conditional(
-                model, res.state.params, jax.random.PRNGKey(100 + ci),
+                model, params_np, jax.random.PRNGKey(100 + ci),
                 lab_std, args.eval_samples, x_d=cfg.x_d,
             )
             m = conditional_moments(s[..., : cfg.x_d])
@@ -229,13 +285,13 @@ def main(argv=None):
         if ds is not None:
             data = ds.epoch_array(jax.random.PRNGKey(3), 2, 500).reshape(-1, 3)
             plots.plot_toy_joint(data, os.path.join(args.outdir, "data.png"), "data")
-            zy, _ = model.apply(res.state.params, data)
+            zy, _ = model.apply(params_np, data)
             plots.plot_latent(zy[..., : cfg.x_d], os.path.join(args.outdir, "latent.png"))
             conds = [(lab - ds.mean[2]) / ds.std[2] for lab in ds.class_labels]
             if args.sweep:
                 conds = list(conds) + list(args.sweep)
             sweeps = sweep_conditions(
-                model, res.state.params, jax.random.PRNGKey(4),
+                model, params_np, jax.random.PRNGKey(4),
                 np.asarray(conds, np.float32), args.eval_samples, x_d=cfg.x_d,
             )
             plots.plot_toy_conditional_grid(

@@ -46,14 +46,19 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host-local batch onto the mesh, sharded on axis 0.
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data", spec=None):
+    """Place a host-local batch onto the mesh, sharded on axis 0 (or per
+    ``spec``, e.g. ``P(None, "data")`` for the (inner, batch, ...) stacks fed
+    to scanned steps).
 
     Single-process: ``jax.device_put`` with a NamedSharding.  Multi-process:
     each host passes its local shard and we assemble the global array
     (jax.make_array_from_process_local_data).
     """
-    sharding = batch_sharding(mesh, axis_name)
+    if spec is not None:
+        sharding = NamedSharding(mesh, spec)
+    else:
+        sharding = batch_sharding(mesh, axis_name)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), batch

@@ -261,6 +261,7 @@ def fit(
     monitor: str = "loss",
     history: Optional[HistoryLogger] = None,
     mesh=None,
+    batch_spec=None,
     initial_epoch: int = 0,
     checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
     checkpoint_every: int = 0,
@@ -273,8 +274,24 @@ def fit(
     ``data_epoch_fn(key, epoch) -> iterable of xy batches`` feeds each epoch;
     annealing epoch i uses alpha = i / num_annealing_epochs, later epochs use
     alpha = 1 (plus whatever permanent noise floor the data source bakes in).
+
+    ``batch_spec`` overrides the default per-batch P("data") placement (e.g.
+    P(None, "data") for scanned (inner, batch, ...) stacks). In multi-process
+    runs every host must call fit with the same key and a per-host
+    ``data_epoch_fn`` slice (``epoch_distributed``); the per-batch noise keys
+    and alpha are replicated onto the global mesh explicitly so the jitted
+    step sees global arrays on every rank.
     """
     history = history or HistoryLogger()
+    multiproc = mesh is not None and jax.process_count() > 1
+
+    def _replicate(x):
+        # every host passes the same host-local value; assemble it into a
+        # fully-replicated global array (works on any jax version, unlike
+        # cross-host device_put)
+        from jax.sharding import PartitionSpec as P
+
+        return mesh_lib.shard_batch(x, mesh, spec=P())
     stopper = EarlyStopping(patience) if patience is not None else None
     metrics = MeanMetrics()
     stopped = False
@@ -305,13 +322,17 @@ def fit(
         else:
             alpha = 1.0
         alpha = jnp.float32(alpha)
+        if multiproc:
+            alpha = _replicate(alpha)
         key, k_epoch = jax.random.split(key)
         metrics.reset()
         t0 = time.time()
         for i, xy in enumerate(data_epoch_fn(k_epoch, epoch)):
             key, k_noise = jax.random.split(key)
             if mesh is not None:
-                xy = mesh_lib.shard_batch(xy, mesh)
+                xy = mesh_lib.shard_batch(xy, mesh, spec=batch_spec)
+            if multiproc:
+                k_noise = _replicate(k_noise)
             state, out = train_step(state, xy, k_noise, alpha)
             metrics.update(jax.tree_util.tree_map(float, out))
         if metrics.count == 0:

@@ -3,6 +3,11 @@ from arl_conditional_normalizing_flows_tpu.utils.profiling import (  # noqa: F40
     profile_trace,
     step_timer,
 )
+from arl_conditional_normalizing_flows_tpu.utils.roofline import (  # noqa: F401
+    device_peaks,
+    parse_hlo_convs,
+    roofline_report,
+)
 from arl_conditional_normalizing_flows_tpu.utils.run_metadata import (  # noqa: F401
     write_run_metadata,
 )

@@ -145,6 +145,33 @@ def main():
         "fused_subnet": cfg.fused_subnet,
         "methodology": "scanned multi-step + blocking host readback",
     }
+
+    # roofline + MFU for the single train step (VERDICT item 2: the
+    # speed-of-light claim as computed bound math, utils/roofline.py)
+    mfu = frac = None
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        try:
+            from arl_conditional_normalizing_flows_tpu.train import make_step_fns
+            from arl_conditional_normalizing_flows_tpu.utils import (
+                roofline_report,
+            )
+
+            step, _ = make_step_fns(model, noise_mode="none")
+            compiled = step.lower(state, xy[0], key, alpha).compile()
+            rep = roofline_report(
+                compiled,
+                med / SCAN_INNER,
+                jax.devices()[0].device_kind,
+                batch=batch,
+            )
+            mfu = rep.get("mfu")
+            frac = rep.get("fraction_of_roofline")
+            detail["roofline"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in rep.items()
+            }
+        except Exception as e:  # cost analysis is best-effort on remote backends
+            detail["roofline_error"] = repr(e)
     print(json.dumps(detail), file=sys.stderr)
 
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
@@ -152,37 +179,46 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             stored = json.load(f)
+    overridden = [
+        k for k in ("BENCH_ARCH", "BENCH_BATCH", "BENCH_DTYPE",
+                    "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_PALLAS",
+                    "BENCH_DENSE_GROUPS", "BENCH_INNER")
+        if os.environ.get(k)
+    ]
     baseline = stored.get(platform)
-    if baseline is None:
+    sample_baseline = stored.get(f"{platform}_sampling")
+    if baseline is None or sample_baseline is None:
         # self-pin ONLY the default flagship config: pinning a run with
         # BENCH_* overrides (small arch, perf preset, other dtype/batch)
         # would permanently corrupt vs_baseline for this platform
-        overridden = [
-            k for k in ("BENCH_ARCH", "BENCH_BATCH", "BENCH_DTYPE",
-                        "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_PALLAS",
-                        "BENCH_DENSE_GROUPS", "BENCH_INNER")
-            if os.environ.get(k)
-        ]
         if overridden:
             print(f"bench: not pinning baseline (overrides {overridden})",
                   file=sys.stderr)
-            baseline = train_sps  # vs_baseline = 1.0, nothing persisted
+            baseline = baseline or train_sps  # nothing persisted
+            sample_baseline = sample_baseline or sample_sps
         else:
-            stored[platform] = train_sps
+            if baseline is None:
+                stored[platform] = baseline = train_sps
+            if sample_baseline is None:
+                stored[f"{platform}_sampling"] = sample_baseline = sample_sps
             with open(base_path, "w") as f:
                 json.dump(stored, f)
-            baseline = train_sps
 
-    print(
-        json.dumps(
-            {
-                "metric": "conv_cinn_train_throughput",
-                "value": round(train_sps, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(train_sps / baseline, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "conv_cinn_train_throughput",
+        "value": round(train_sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(train_sps / baseline, 3),
+        # the serving axis: conditional samples/s/chip (BASELINE.json north
+        # star), device-side scanned inverse passes
+        "sampling_samples_per_sec": round(sample_sps, 1),
+        "sampling_vs_baseline": round(sample_sps / sample_baseline, 3),
+    }
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    if frac is not None:
+        line["fraction_of_roofline"] = round(frac, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,93 @@
+"""Roofline bound math (utils/roofline.py): HLO conv parsing, FLOP/byte
+accounting, and report structure (VERDICT round-1 item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arl_conditional_normalizing_flows_tpu.utils import (
+    device_peaks,
+    parse_hlo_convs,
+    roofline_report,
+)
+
+
+def _compile(fn, *args):
+    return jax.jit(fn).lower(*args).compile()
+
+
+def test_parse_single_conv_flops_and_bytes():
+    # one known conv: (B=2, H=W=8, Cin=4) -> Cout=6, 3x3 SAME
+    x = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    k = jnp.zeros((3, 3, 4, 6), jnp.float32)
+
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    convs = parse_hlo_convs(_compile(f, x, k).as_text())
+    assert len(convs) == 1
+    c = convs[0]
+    assert c.out_shape == (2, 8, 8, 6)
+    # 2 * out_elems * k_spatial * Cin
+    assert c.flops == 2 * (2 * 8 * 8 * 6) * 9 * 4
+    expected_bytes = (2 * 8 * 8 * 4 + 3 * 3 * 4 * 6 + 2 * 8 * 8 * 6) * 4
+    assert c.bytes == expected_bytes
+
+
+def test_parse_grouped_conv_uses_per_group_channels():
+    x = jnp.zeros((2, 8, 8, 8), jnp.float32)
+    k = jnp.zeros((3, 3, 2, 8), jnp.float32)  # feature_group_count=4
+
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", feature_group_count=4,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    convs = parse_hlo_convs(_compile(f, x, k).as_text())
+    assert len(convs) == 1
+    # Cin per group = 2, NOT the full 8
+    assert convs[0].flops == 2 * (2 * 8 * 8 * 8) * 9 * 2
+
+
+def test_roofline_report_on_model_step():
+    from arl_conditional_normalizing_flows_tpu.models import (
+        ConvCFlow,
+        ConvFlowConfig,
+    )
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        make_step_fns,
+    )
+
+    cfg = ConvFlowConfig(
+        io_shape=(8, 8, 2), x_d=1, squeeze_factor_blocks=(0, 1),
+        res_blocks=(1, 1), num_kernels=(8, 8), cardinality=(2, 2), ksize=3,
+    )
+    model = ConvCFlow(cfg)
+    xy = jnp.zeros((4,) + cfg.io_shape, jnp.float32)
+    state = create_train_state(model, xy[:1], 3e-4)
+    step, _ = make_step_fns(model, noise_mode="none")
+    compiled = step.lower(state, xy, jax.random.PRNGKey(0), jnp.float32(1.0)).compile()
+
+    # pretend it ran on a v5e so the peak table engages
+    rep = roofline_report(compiled, 1e-3, "TPU v5 lite", batch=4)
+    assert rep["conv_ops"] > 10  # fwd + bwd convs of 8 couplings
+    assert rep["conv_flops"] > 0 and rep["total_flops"] >= rep["conv_flops"]
+    assert 0 < rep["roofline_lower_bound_seconds"] < 1e-3
+    assert 0 < rep["fraction_of_roofline"] < 1
+    assert 0 < rep["mfu"] < 1
+    assert rep["bound_samples_per_sec"] > 4 / 1e-3
+    # the bound decomposes into conv + rest
+    assert np.isclose(
+        rep["roofline_lower_bound_seconds"],
+        rep["conv_bound_seconds"] + rep["rest_bound_seconds"],
+    )
+
+
+def test_device_peaks_lookup():
+    assert device_peaks("TPU v5 lite") == (197e12, 819e9)
+    assert device_peaks("TPU v4") == (275e12, 1228e9)
+    assert device_peaks("cpu") is None

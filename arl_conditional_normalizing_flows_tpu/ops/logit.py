@@ -10,6 +10,7 @@ recover pixels from samples of a logit-trained model.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -24,6 +25,20 @@ def logitify(x, a=0.01):
     hi = -lo  # logit(1-a) = -logit(a)
     z = _logit(a + (1.0 - a) * b * x)
     return (z - lo) / (hi - lo)
+
+
+def logitify_np(x, a=0.01):
+    """Pure-numpy :func:`logitify` for host-side data workers (the streaming
+    record loader transforms batches in a background thread and must not
+    dispatch device ops there). Same formula, float32 math."""
+    x = np.asarray(x, np.float32)
+    a = np.float32(a)
+    b = (1.0 - 2.0 * a) / (1.0 - a)
+    lo = np.float32(np.log(a / (1.0 - a), dtype=np.float32))
+    hi = -lo
+    arg = (a + (1.0 - a) * b * x).astype(np.float32)
+    z = np.log(arg / (1.0 - arg), dtype=np.float32)
+    return ((z - lo) / (hi - lo)).astype(np.float32)
 
 
 def de_logitify(x, a=0.01):

@@ -416,3 +416,37 @@ def test_build_records_tfrecords_sidecar(tmp_path):
     assert imgs.shape[1:] == (28, 28, 1) and labels.shape[1] == 10
     assert (labels[:, 0] == 1).all()  # class-0 file: one-hot index 0
     assert os.path.exists(os.path.join(out, "x_val_synthetic_c1.tfrecords"))
+
+
+def test_conv_driver_streaming_records(tmp_path):
+    """cnf-conv --records-dir streams batches through the native loader by
+    default (bounded memory, VERDICT round-1 item 5) and trains end to end."""
+    import json
+
+    from arl_conditional_normalizing_flows_tpu.drivers import build_records, conv
+
+    recs = str(tmp_path / "recs")
+    build_records.main(
+        ["--dataset", "synthetic", "--which-classes", "0", "1",
+         "--outdir", recs]
+    )
+    out = str(tmp_path / "run")
+    conv.main(
+        [
+            "--records-dir", recs,
+            "--data-classes", "0", "1",
+            "--batch-size", "16",
+            "--epochs", "1",
+            "--annealing-epochs", "0",
+            "--no-dilations",
+            "--squeeze-factor", "0", "1",
+            "--res-blocks", "1", "1",
+            "--kernels", "8", "8",
+            "--cardinality", "2", "2",
+            "--eval-samples", "4",
+            "--checkpoint-every", "0",
+            "--outdir", out,
+        ]
+    )
+    ev = json.loads((tmp_path / "run" / "eval.json").read_text())
+    assert "sampling" in ev and "loss" in ev

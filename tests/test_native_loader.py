@@ -188,3 +188,117 @@ def test_gather_multi_mixed_shapes_rejected(tmp_path, rng):
         native_loader.gather_multi([fa, fb], np.array([1], np.int32), np.array([0]))
     fa.close()
     fb.close()
+
+
+# ---------------------------------------------------------------------------
+# streaming sources (bounded-memory records path)
+# ---------------------------------------------------------------------------
+
+
+def _class_records(tmp_path, batch=8, per_class=20, size=8):
+    from arl_conditional_normalizing_flows_tpu.data.images import synthetic_digits
+
+    imgs, labels = synthetic_digits(num_per_class=per_class, num_classes=2, size=size)
+    records.write_class_sorted_dataset(
+        str(tmp_path), "train", imgs, labels, [0, 1], combined=False
+    )
+    return imgs, labels
+
+
+def test_streaming_class_source_matches_in_ram(tmp_path):
+    """Same key -> numerically identical batch stream as
+    ClassConditionalSource (schedule parity is the design contract)."""
+    import jax
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+    )
+
+    imgs, labels = _class_records(tmp_path)
+    ram = ClassConditionalSource(imgs, labels, [0, 1], 8, use_logits=True)
+    stream = native_loader.StreamingClassSource(
+        [str(tmp_path / "train_class0.cnfrec"),
+         str(tmp_path / "train_class1.cnfrec")],
+        [0, 1], 8, use_logits=True,
+    )
+    assert stream.num_batches == ram.num_batches
+    assert stream.xy_shape == ram.xy_shape
+    key = jax.random.PRNGKey(5)
+    a = [np.asarray(b) for b in ram.epoch(key, 3)]
+    b = [np.asarray(x) for x in stream.epoch(key, 3)]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-6)
+    stream.close()
+
+
+def test_streaming_class_source_distributed_matches(tmp_path):
+    import jax
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+    )
+
+    imgs, labels = _class_records(tmp_path, per_class=32)
+    ram = ClassConditionalSource(imgs, labels, [0, 1], 8, use_logits=True)
+    stream = native_loader.StreamingClassSource(
+        [str(tmp_path / "train_class0.cnfrec"),
+         str(tmp_path / "train_class1.cnfrec")],
+        [0, 1], 8, use_logits=True,
+    )
+    key = jax.random.PRNGKey(9)
+    assert stream.slot_groups(2) == ram.slot_groups(2)
+    for shard in range(2):
+        a = [np.asarray(x) for x in ram.epoch_distributed(key, 1, 2, shard)]
+        b = [np.asarray(x) for x in stream.epoch_distributed(key, 1, 2, shard)]
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=2e-6)
+    stream.close()
+
+
+def test_streaming_sr_source_matches_in_ram(tmp_path):
+    import jax
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        SRSource,
+        synthetic_digits,
+    )
+
+    imgs, _ = synthetic_digits(num_per_class=16, num_classes=2, size=8)
+    records.write_class_sorted_dataset(
+        str(tmp_path), "train", imgs, np.zeros(len(imgs), np.int32), [0],
+        combined=True,
+    )
+    ram = SRSource(imgs, "SR2,1", 8)
+    stream = native_loader.StreamingSRSource(
+        str(tmp_path / "train_combined.cnfrec"), "SR2,1", 8
+    )
+    assert stream.num_batches == ram.num_batches
+    assert stream.xy_shape == ram.xy_shape
+    key = jax.random.PRNGKey(2)
+    a = [np.asarray(b) for b in ram.epoch(key, 0)]
+    b = [np.asarray(x) for x in stream.epoch(key, 0)]
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-6)
+    # SR4,2 halves the io shape
+    s42 = native_loader.StreamingSRSource(
+        str(tmp_path / "train_combined.cnfrec"), "SR4,2", 8
+    )
+    assert s42.xy_shape == (4, 4, 2)
+    stream.close()
+    s42.close()
+
+
+def test_logitify_np_matches_jnp():
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.ops.logit import (
+        logitify,
+        logitify_np,
+    )
+
+    x = np.random.default_rng(0).uniform(0, 1, size=(4, 5, 5, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        logitify_np(x), np.asarray(logitify(jnp.asarray(x))), atol=1e-6
+    )

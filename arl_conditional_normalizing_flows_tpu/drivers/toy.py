@@ -282,22 +282,77 @@ def main(argv=None):
         from arl_conditional_normalizing_flows_tpu.sample import sweep_conditions
 
         plots.plot_loss_curves(history.rows, os.path.join(args.outdir, "loss.png"))
+        if args.annealing_epochs > 0:
+            # annealing losses are measured on noise-blended data; the
+            # reference keeps the two histories separate (TOYcINN.py:274-304)
+            plots.plot_annealing_history(
+                history.rows, os.path.join(args.outdir, "annealing.png")
+            )
         if ds is not None:
-            data = ds.epoch_array(jax.random.PRNGKey(3), 2, 500).reshape(-1, 3)
-            plots.plot_toy_joint(data, os.path.join(args.outdir, "data.png"), "data")
-            zy, _ = model.apply(params_np, data)
-            plots.plot_latent(zy[..., : cfg.x_d], os.path.join(args.outdir, "latent.png"))
+            data = np.asarray(
+                ds.epoch_array(jax.random.PRNGKey(3), 2, 500)
+            ).reshape(-1, 3)
+        else:
+            data = np.asarray(
+                toy_datasets.sample_continuous_sectors(
+                    jax.random.PRNGKey(3), 2000, args.sector_width
+                )
+            )
+        plots.plot_toy_joint(data, os.path.join(args.outdir, "data.png"), "data")
+        zy, _ = model.apply(params_np, data)
+        zy = np.asarray(zy)
+        plots.plot_latent(zy[..., : cfg.x_d], os.path.join(args.outdir, "latent.png"))
+
+        # condition set: the class labels plus the reference's DEFAULT
+        # off-manifold interpolation grid (y' = -2..2 for two standardized
+        # classes, TOYcINN.py:1115-1126); --sweep appends extra values
+        if ds is not None:
             conds = [(lab - ds.mean[2]) / ds.std[2] for lab in ds.class_labels]
-            if args.sweep:
-                conds = list(conds) + list(args.sweep)
-            sweeps = sweep_conditions(
-                model, params_np, jax.random.PRNGKey(4),
-                np.asarray(conds, np.float32), args.eval_samples, x_d=cfg.x_d,
+            interp = plots.default_interpolation_conditions(
+                ds.class_labels, ds.mean[2], ds.std[2]
             )
-            plots.plot_toy_conditional_grid(
-                [np.asarray(s[:, : cfg.x_d]) for s in sweeps], conds,
-                os.path.join(args.outdir, "conditional.png"),
-            )
+        else:
+            centers = np.linspace(0, 2 * np.pi, 9)
+            conds = interp = [float(c) for c in centers]
+        sweeps = sweep_conditions(
+            model, params_np, jax.random.PRNGKey(4),
+            np.asarray(list(conds) + list(args.sweep or []), np.float32),
+            args.eval_samples, x_d=cfg.x_d,
+        )
+        plots.plot_toy_conditional_grid(
+            [np.asarray(s[:, : cfg.x_d]) for s in sweeps],
+            list(conds) + list(args.sweep or []),
+            os.path.join(args.outdir, "conditional.png"),
+        )
+        interp_sweeps = sweep_conditions(
+            model, params_np, jax.random.PRNGKey(5),
+            np.asarray(interp, np.float32), args.eval_samples, x_d=cfg.x_d,
+        )
+        plots.plot_toy_conditional_grid(
+            [np.asarray(s[:, : cfg.x_d]) for s in interp_sweeps], interp,
+            os.path.join(args.outdir, "interpolation.png"),
+        )
+
+        # y'-identity overlays (TOYcINN.py:463-492): encode f_Y vs y', and
+        # the decode direction's recovered y vs the requested condition
+        dec_req = np.concatenate(
+            [np.full((len(s),), c, np.float32) for s, c in zip(sweeps, list(conds) + list(args.sweep or []))]
+        )
+        dec_mapped = np.concatenate(
+            [np.asarray(s[:, cfg.x_d :]).reshape(-1) for s in sweeps]
+        )
+        plots.plot_y_identity(
+            data[:, cfg.x_d :], zy[:, cfg.x_d :], dec_req, dec_mapped,
+            os.path.join(args.outdir, "y_identity.png"),
+        )
+
+        # 2x2 forward/backward map panel (the reference's per-dataset figure
+        # family, TOYcINN.py:1098+)
+        sampled_xy = np.concatenate([np.asarray(s) for s in sweeps[: len(conds)]])
+        plots.plot_forward_backward_grid(
+            data, zy, sampled_xy,
+            os.path.join(args.outdir, "forward_backward.png"),
+        )
 
     with open(os.path.join(args.outdir, "eval.json"), "w") as f:
         json.dump(report, f, indent=2)

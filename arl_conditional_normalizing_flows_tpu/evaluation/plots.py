@@ -88,6 +88,116 @@ def plot_loss_curves(history_rows, path, keys=("loss", "z_loss", "y_loss", "detJ
     plt.close(fig)
 
 
+def plot_y_identity(y_requested_enc, y_mapped_enc, y_requested_dec,
+                    y_mapped_dec, path):
+    """The y'-identity overlays (TOYcINN.py:463-492): f_Y(x, y') vs y' in the
+    encode direction and the recovered y vs the requested y' in the decode
+    direction. Both should sit on the identity line (discrete conditions
+    collapse to points ON that line)."""
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4.2))
+    panels = [
+        (y_requested_enc, y_mapped_enc, "encode: f_Y(x, y') vs y'"),
+        (y_requested_dec, y_mapped_dec, "decode: y recovered vs y' requested"),
+    ]
+    for ax, (req, mapped, title) in zip(axes, panels):
+        req = np.asarray(req).reshape(-1)
+        mapped = np.asarray(mapped).reshape(-1)
+        lo = float(min(req.min(), mapped.min()))
+        hi = float(max(req.max(), mapped.max()))
+        pad = 0.1 * max(hi - lo, 1e-6)
+        ax.plot([lo - pad, hi + pad], [lo - pad, hi + pad], "r--", lw=1,
+                label="identity")
+        ax.scatter(req, mapped, s=3, alpha=0.4)
+        ax.set_xlabel("y' requested")
+        ax.set_ylabel("y mapped")
+        ax.set_title(title, fontsize=9)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_forward_backward_grid(data_xy, encoded_zy, sampled_xy, path,
+                               title="forward / backward maps"):
+    """The reference's 2x2 forward/backward panel (TOYcINN.py:1098+ family):
+    data joint -> encoded latent (top row), prior draw -> decoded samples
+    (bottom row)."""
+    plt = _mpl()
+    data_xy = np.asarray(data_xy).reshape(-1, data_xy.shape[-1])
+    encoded_zy = np.asarray(encoded_zy).reshape(-1, encoded_zy.shape[-1])
+    sampled_xy = np.asarray(sampled_xy).reshape(-1, sampled_xy.shape[-1])
+    fig, axes = plt.subplots(2, 2, figsize=(8.5, 8))
+    ax = axes[0][0]
+    sc = ax.scatter(data_xy[:, 0], data_xy[:, 1], c=data_xy[:, 2], s=2,
+                    cmap="viridis", alpha=0.6)
+    ax.set_title("data (x | colored by y')", fontsize=9)
+    ax = axes[0][1]
+    ax.scatter(encoded_zy[:, 0], encoded_zy[:, 1], c=data_xy[:, 2], s=2,
+               cmap="viridis", alpha=0.6)
+    ax.add_patch(plt.Circle((0, 0), 2.0, fill=False, color="r", ls="--"))
+    ax.set_title("encoded z = f_Z(x, y') (2-sigma circle)", fontsize=9)
+    ax = axes[1][0]
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(len(sampled_xy), 2))
+    ax.scatter(z[:, 0], z[:, 1], s=2, alpha=0.4)
+    ax.add_patch(plt.Circle((0, 0), 2.0, fill=False, color="r", ls="--"))
+    ax.set_title("prior draw z ~ N(0, I)", fontsize=9)
+    ax = axes[1][1]
+    sc = ax.scatter(sampled_xy[:, 0], sampled_xy[:, 1], c=sampled_xy[:, 2],
+                    s=2, cmap="viridis", alpha=0.6)
+    ax.set_title("decoded x | y' (colored by y')", fontsize=9)
+    for a in axes.ravel():
+        a.set_aspect("equal")
+    fig.colorbar(sc, ax=axes.ravel().tolist(), label="y'", shrink=0.8)
+    fig.suptitle(title)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def plot_annealing_history(history_rows, path,
+                           keys=("loss", "z_loss", "y_loss", "detJ_loss")):
+    """Separate annealing-phase vs clean-phase loss curves — the reference
+    keeps the two histories apart (TOYcINN.py:274-304) because annealing-
+    epoch losses are measured on noise-blended data and are not comparable
+    to the clean fit."""
+    plt = _mpl()
+    ann = [r for r in history_rows if r.get("alpha", 1.0) < 1.0]
+    clean = [r for r in history_rows if r.get("alpha", 1.0) >= 1.0]
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4), sharey=False)
+    for ax, rows, title in (
+        (axes[0], ann, "annealing phase (alpha < 1)"),
+        (axes[1], clean, "clean phase"),
+    ):
+        for k in keys:
+            if rows and k in rows[0]:
+                ax.plot([r["epoch"] for r in rows], [r[k] for r in rows],
+                        label=k)
+        ax.set_title(title, fontsize=9)
+        ax.set_xlabel("epoch")
+        if rows:
+            ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def default_interpolation_conditions(class_labels, mean, std,
+                                     num_interps=5, num_extras=2):
+    """The reference's default class-interpolation grid (TOYcINN.py:1115-1126):
+    ``num_interps`` evenly spaced values spanning the class-label range,
+    extended ``num_extras`` steps beyond each end (off-manifold), then
+    standardized with the dataset stats — for the canonical two-class case
+    this is y' in {-2, -1.5, ..., 2}."""
+    lo, hi = float(min(class_labels)), float(max(class_labels))
+    step = (hi - lo) / (num_interps - 1)
+    vals = [
+        lo + (i - num_extras) * step
+        for i in range(num_interps + 2 * num_extras)
+    ]
+    return [(v - mean) / std for v in vals]
+
+
 def plot_image_grid(images, path, ncols=8, title=None):
     """Sample / verification image grid (create_tfrecords.py:366-400)."""
     plt = _mpl()

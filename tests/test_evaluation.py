@@ -95,3 +95,34 @@ def test_conditional_moments_axis_consistency():
         np.testing.assert_allclose(
             np.asarray(m0[k]), np.asarray(m1[k]), rtol=1e-4, atol=1e-5
         )
+
+
+def test_new_plot_families_smoke(tmp_path, rng):
+    from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+    n = 120
+    y = rng.integers(0, 2, n).astype(np.float32)
+    plots.plot_y_identity(
+        y, y + rng.normal(0, 1e-3, n), y, y, tmp_path / "yid.png"
+    )
+    data = np.concatenate([rng.normal(size=(n, 2)), y[:, None]], axis=1)
+    plots.plot_forward_backward_grid(
+        data, rng.normal(size=(n, 3)), data, tmp_path / "fb.png"
+    )
+    rows = [
+        {"epoch": e, "loss": 1.0 / (e + 1), "z_loss": 1.0, "y_loss": 0.1,
+         "detJ_loss": -0.5, "alpha": min(e / 3.0, 1.0)}
+        for e in range(8)
+    ]
+    plots.plot_annealing_history(rows, tmp_path / "ann.png")
+    for p in ("yid.png", "fb.png", "ann.png"):
+        assert (tmp_path / p).stat().st_size > 0
+
+
+def test_default_interpolation_conditions_reference_grid():
+    """Two standardized classes (labels {0,1}, mean .5, std .5) must give the
+    reference's canonical y' grid -2..2 in steps of 0.5 (TOYcINN.py:1115-1126)."""
+    from arl_conditional_normalizing_flows_tpu.evaluation import plots
+
+    vals = plots.default_interpolation_conditions([0.0, 1.0], 0.5, 0.5)
+    np.testing.assert_allclose(vals, np.arange(-2, 2.01, 0.5), atol=1e-6)

@@ -97,3 +97,25 @@ def test_toy_gather_scatter_roundtrip(rng):
         u2 = masks.toy_gather(jnp.asarray(x), u2i)
         back = np.asarray(masks.toy_scatter_combine(u1, u2, u1i, u2i, 3))
         np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("io_shape", [2, 4, 5, 8])
+@pytest.mark.parametrize("m", list(range(6)))
+def test_toy_partition_general_io_shape(rng, io_shape, m):
+    """The procedural fallback for io_shape != 3 (the reference only supports
+    3, TOYcINN_make_model.py:152) must still be a valid coupling partition:
+    disjoint, exhaustive, both sides non-empty, round-trippable, and the
+    partition must actually alternate with mask id so consecutive couplings
+    transform different coordinates."""
+    u1, u2 = masks.toy_partition(io_shape, m)
+    assert sorted(list(u1) + list(u2)) == list(range(io_shape))
+    assert len(u1) > 0 and len(u2) > 0
+    assert set(u1).isdisjoint(set(u2))
+    # parity alternation: mask m and m+1 swap the two sides
+    n1, n2 = masks.toy_partition(io_shape, m + 1)
+    assert sorted(u1) == sorted(n2) and sorted(u2) == sorted(n1)
+    x = rng.normal(size=(4, io_shape)).astype(np.float32)
+    a = masks.toy_gather(jnp.asarray(x), u1)
+    b = masks.toy_gather(jnp.asarray(x), u2)
+    back = np.asarray(masks.toy_scatter_combine(a, b, u1, u2, io_shape))
+    np.testing.assert_array_equal(back, x)

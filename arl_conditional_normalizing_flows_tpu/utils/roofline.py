@@ -12,15 +12,32 @@ HLO of a compiled step:
   op cannot beat BOTH the MXU and HBM bandwidth (sequential flow couplings
   mean convs execute one after another, so summing per-op bounds is valid:
   there is no cross-coupling overlap to exploit);
-- the remaining (non-conv) work uses XLA's own aggregate cost analysis
-  (``compiled.cost_analysis()``: 'flops', 'bytes accessed') minus the conv
-  totals, bounded in aggregate.
+- the remaining (non-conv) work is bounded by FLOPs alone, from XLA's own
+  aggregate cost analysis (``compiled.cost_analysis()['flops']``) minus the
+  conv total.
+
+Two accounting subtleties, both measured on the real flagship step:
+
+- **Padded windows must not count as MACs.** XLA rewrites some forward 1x1
+  convs into a transposed form whose rhs ("kernel") is the 28x28 activation
+  with ``pad=27_27`` around a 1x1 lhs — naively counting window taps inflates
+  those ops ~780x (22 TFLOP/step vs XLA's own 155 GFLOP). Per spatial dim we
+  therefore cap the kernel taps by the lhs extent (``min(k_d, lhs_d)``):
+  taps beyond the input extent only ever multiply padding zeros. This keeps
+  the count exact for ordinary convs and for grad-vs-weight convs (whose
+  large windows really do sweep the full input).
+- **XLA's 'bytes accessed' is NOT a physical-traffic bound.** On the
+  flagship step it implies 1.34x the chip's peak HBM bandwidth at the
+  measured step time — it is a logical post-fusion operand estimate, so the
+  non-conv remainder is bounded by FLOPs only (always valid, looser). Conv
+  operand/output bytes ARE counted per op: convs are not fused with each
+  other, so their boundary tensors do round-trip HBM.
 
 The result is a LOWER bound on step time: it ignores op launch/sequencing
 overhead (~12.5k op executions per step on the flagship arch,
-docs/PERF_NOTES.md), non-perfect overlap, and XLA's 'bytes accessed' being a
-logical (post-fusion) estimate. ``fraction_of_roofline = bound/measured``
-is therefore conservative — the true attainable fraction is higher.
+docs/PERF_NOTES.md), non-perfect overlap, and per-op achievable bandwidth at
+small operand sizes. ``fraction_of_roofline = bound/measured`` is therefore
+conservative — the true attainable fraction is higher.
 
 MFU is reported against the bf16 MXU peak (the conv dtype in the bench
 config); a memory-bound workload can be AT its roofline with single-digit
@@ -80,7 +97,9 @@ _CONV_RE = re.compile(
     r"(%[\w.\-]+)\s*=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?convolution\("
     r"\s*(%[\w.\-]+)\s*,\s*(%[\w.\-]+)\s*\)\s*,(.*)"
 )
-_KLABEL_RE = re.compile(r"dim_labels=[\w?]+_([\w?]+)->")
+_LABELS_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->")
+_WINDOW_SIZE_RE = re.compile(r"window=\{[^}]*\bsize=([\dx]+)")
+_LHS_DILATE_RE = re.compile(r"window=\{[^}]*\blhs_dilate=([\dx]+)")
 
 
 def _shape_of(dims: str) -> Tuple[int, ...]:
@@ -100,16 +119,33 @@ def parse_hlo_convs(hlo_text: str) -> List[ConvOp]:
         out_shape = _shape_of(out_dims)
         in_dtype, in_shape = shapes.get(in_name, ("f32", ()))
         k_dtype, k_shape = shapes.get(k_name, ("f32", ()))
-        lm = _KLABEL_RE.search(rest)
+        lm = _LABELS_RE.search(rest)
         if not lm or not k_shape:
             continue
-        klabels = lm.group(1)  # e.g. "01io", "o01i"
+        in_labels, klabels = lm.groups()  # e.g. "b01f", "01io" / "o01i"
         k_by_label = dict(zip(klabels, k_shape))
+        in_by_label = dict(zip(in_labels, in_shape))
         cin_per_group = k_by_label.get("i", 1)
+        cin_per_group = min(cin_per_group, in_by_label.get("f", cin_per_group))
+        # window components are ordered by spatial dim number (digit labels)
+        wm = _WINDOW_SIZE_RE.search(rest)
+        sizes = [int(s) for s in wm.group(1).split("x")] if wm else []
+        dm = _LHS_DILATE_RE.search(rest)
+        dilates = [int(s) for s in dm.group(1).split("x")] if dm else []
         k_spatial = 1
-        for lab, dim in k_by_label.items():
-            if lab not in ("i", "o"):
-                k_spatial *= dim
+        spatial_labs = sorted(lab for lab in k_by_label if lab.isdigit())
+        for j, lab in enumerate(spatial_labs):
+            taps = sizes[j] if j < len(sizes) else k_by_label[lab]
+            # base (lhs) dilation spreads the input on a sparse grid: only
+            # every lhs_dilate-th tap hits a real element (XLA lowers
+            # feature_group_count convs this way: size=3x3x8 lhs_dilate=1x1x8
+            # is ONE real tap on the group dim, not 8)
+            if j < len(dilates) and dilates[j] > 1:
+                taps = -(-taps // dilates[j])
+            # taps beyond the lhs extent only multiply padding zeros
+            # (XLA's transposed-1x1 rewrite: 28x28 "kernel" over a 1x1
+            # lhs with pad=27 — module docstring), so cap per dim
+            k_spatial *= min(taps, in_by_label.get(lab, taps))
         out_elems = 1
         for d in out_shape:
             out_elems *= d
@@ -155,7 +191,10 @@ def roofline_report(
     total_bytes = float(ca.get("bytes accessed", 0.0))
     conv_flops = sum(c.flops for c in convs)
     conv_bytes = sum(c.bytes for c in convs)
-    # XLA's aggregate includes the convs; the remainder is everything else
+    # XLA's aggregate includes the convs; the remainder is everything else.
+    # rest_bytes is reported for context only — XLA's 'bytes accessed' is a
+    # logical post-fusion estimate (measured 1.34x peak HBM bandwidth on the
+    # flagship step), so it cannot enter the bound (module docstring).
     rest_flops = max(total_flops - conv_flops, 0.0)
     rest_bytes = max(total_bytes - conv_bytes, 0.0)
 
@@ -172,7 +211,7 @@ def roofline_report(
         return report
     peak_flops, hbm_bw = peaks
     conv_bound = sum(max(c.flops / peak_flops, c.bytes / hbm_bw) for c in convs)
-    rest_bound = max(rest_flops / peak_flops, rest_bytes / hbm_bw)
+    rest_bound = rest_flops / peak_flops  # FLOPs-only: always a valid bound
     bound_s = conv_bound + rest_bound
     n_mem_bound = sum(
         1 for c in convs if c.bytes / hbm_bw > c.flops / peak_flops
@@ -188,8 +227,11 @@ def roofline_report(
     if measured_step_seconds:
         report["measured_step_seconds"] = measured_step_seconds
         report["mfu"] = report["total_flops"] / measured_step_seconds / peak_flops
-        report["hbm_utilization"] = (
-            report["total_bytes"] / measured_step_seconds / hbm_bw
+        # achieved bandwidth on the conv boundary tensors alone (a LOWER
+        # bound on physical HBM utilization over the step; XLA's aggregate
+        # 'bytes accessed' is not physical — module docstring)
+        report["conv_hbm_utilization"] = (
+            conv_bytes / measured_step_seconds / hbm_bw
         )
         report["fraction_of_roofline"] = bound_s / measured_step_seconds
         if batch:

@@ -52,6 +52,38 @@ def test_parse_grouped_conv_uses_per_group_channels():
     assert convs[0].flops == 2 * (2 * 8 * 8 * 8) * 9 * 2
 
 
+def test_padded_window_taps_capped_by_lhs_extent():
+    # XLA's transposed rewrite of a forward 1x1 conv (seen verbatim in the
+    # flagship step's optimized HLO): the rhs "kernel" is the 28x28
+    # activation, swept over a 1x1 lhs with pad=27_27 — all taps beyond the
+    # lhs extent hit padding. Naive tap counting inflated this op ~780x
+    # (1128 GF vs the true 1.44 GF).
+    hlo = """
+ENTRY %main {
+  %p0 = bf16[1,1,112,64]{3,2,1,0} parameter(0)
+  %p1 = bf16[128,28,28,112]{3,2,1,0} parameter(1)
+  %conv = bf16[128,28,28,64]{3,2,1,0} convolution(%p0, %p1), window={size=28x28 pad=27_27x27_27 rhs_reversal=1x1}, dim_labels=01fb_o01i->f01b
+}
+"""
+    convs = parse_hlo_convs(hlo)
+    assert len(convs) == 1
+    out_elems = 128 * 28 * 28 * 64
+    assert convs[0].flops == 2 * out_elems * 1 * 112  # 1x1 effective window
+    # a genuine grad-vs-weight conv (large window over a large lhs) must NOT
+    # be capped: 28x28 taps over a 28x28 input are real MACs
+    hlo_grad = """
+ENTRY %main {
+  %a = bf16[128,28,28,112]{3,2,1,0} parameter(0)
+  %g = bf16[128,28,28,64]{3,2,1,0} parameter(1)
+  %conv = bf16[3,3,112,64]{3,2,1,0} convolution(%a, %g), window={size=28x28 pad=1_1x1_1}, dim_labels=f01b_i01o->01bf
+}
+"""
+    convs = parse_hlo_convs(hlo_grad)
+    assert len(convs) == 1
+    # lhs f (=batch 128) contracts with rhs i; 28x28 taps over a 28x28 lhs
+    assert convs[0].flops == 2 * (3 * 3 * 112 * 64) * (28 * 28) * 128
+
+
 def test_roofline_report_on_model_step():
     from arl_conditional_normalizing_flows_tpu.models import (
         ConvCFlow,

@@ -53,11 +53,12 @@ def build_parser():
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true",
                    help="one two-headed A/b trunk per coupling (TPU perf option)")
-    p.add_argument("--fuse-dilated", action="store_true",
-                   help="one masked dense conv for all dilated branches "
-                   "(TPU perf option, docs/PERF_NOTES.md)")
-    p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas coupling kernels")
+    p.add_argument("--experimental-lowering", default=None,
+                   choices=["pallas_coupling", "fused_dilated",
+                            "dense_groups", "pallas_subnet"],
+                   help="alternative lowering of the same math for A/Bs "
+                   "(ALL measured slower — models/arch.py, "
+                   "docs/PERF_NOTES.md)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -264,8 +265,7 @@ def main(argv=None):
         layer_norm=args.layer_norm,
         fused_subnet=args.fused_subnet,
         compute_dtype=args.dtype,
-        use_pallas_coupling=args.pallas,
-        fuse_dilated_conv=args.fuse_dilated,
+        experimental_lowering=args.experimental_lowering,
     )
     model = ConvCFlow(cfg)
     print("arch:", arch_string(cfg))

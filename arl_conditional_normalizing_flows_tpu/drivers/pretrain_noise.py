@@ -33,10 +33,10 @@ def build_parser():
     p.add_argument("--no-dilations", dest="dilations", action="store_false", default=True)
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true")
-    p.add_argument("--fuse-dilated", action="store_true",
-                   help="one masked dense conv for all dilated branches "
-                   "(TPU perf option, docs/PERF_NOTES.md)")
-    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--experimental-lowering", default=None,
+                   choices=["pallas_coupling", "fused_dilated",
+                            "dense_groups", "pallas_subnet"],
+                   help="alternative lowering for A/Bs (models/arch.py)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--num-batches", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=512)
@@ -113,8 +113,7 @@ def main(argv=None):
         layer_norm=args.layer_norm,
         fused_subnet=args.fused_subnet,
         compute_dtype=args.dtype,
-        use_pallas_coupling=args.pallas,
-        fuse_dilated_conv=args.fuse_dilated,
+        experimental_lowering=args.experimental_lowering,
     )
     model = ConvCFlow(cfg)
     shape = cfg.io_shape

@@ -39,33 +39,30 @@ class ConvFlowConfig:
     # Compute dtype for the coupling subnets (params stay float32; log-det and
     # loss accumulate in float32 regardless).
     compute_dtype: str = "float32"
-    # Use the fused Pallas TPU kernel for the coupling law + log-det
-    # (ops.pallas.affine_coupling). Identical math; single-VMEM-pass with
-    # rematerialized backward. Falls back to the jnp path off-TPU.
-    use_pallas_coupling: bool = False
     # Reproduce the reference's ACTUAL grouped-conv runtime behavior (its
     # per-group Lambda slices late-bind the loop variable, so every group
     # reads the last group's channels — conv_cINN_base_functions.py:399-404).
     # Default False = the documented/intended grouped convolution.
     ref_compat_group_slice: bool = False
-    # Compute all parallel dilated grouped branches with one masked dense
-    # conv (same connectivity / function class; ~3x nominal FLOPs but one
-    # MXU-efficient op instead of dilations x cardinality tiny convs —
-    # docs/PERF_NOTES.md). Ignored when a block has a single dilation.
-    fuse_dilated_conv: bool = False
-    # Lower each grouped conv as ONE dense conv whose block-diagonal kernel
-    # is expanded from the grouped parameter at apply time (identical math,
-    # init, and parameter shapes — only the XLA lowering changes; see
-    # models.subnets.DenseMaskedGroupConv). A TPU lane-fill experiment:
-    # grouped 8-channel operands pad 16x to the 128-wide MXU, dense 64-channel
-    # operands only 2x. No effect when ref_compat_group_slice is set.
-    dense_masked_groups: bool = False
-    # Execute each coupling subnet's ENTIRE conv chain as one Pallas program
-    # per batch tile with activations VMEM-resident (ops.pallas.fused_subnet)
-    # instead of ~17 HBM-round-tripping XLA convs. Identical math and
-    # parameter shapes (leaf names differ: models.subnets.fused_params_from_
-    # flax). Requires layer_norm off and the default grouped-conv semantics.
-    fused_pallas_subnet: bool = False
+    # Alternative lowerings of the SAME math, kept reproducible behind one
+    # opt-in knob. Every one of these measured SLOWER than the default
+    # XLA path on v5e (docs/PERF_NOTES.md "Experiments that did NOT pay") —
+    # they exist for A/B regression and for re-testing on future
+    # hardware/compilers, not for production use. At most one may be active:
+    #   "pallas_coupling" — fused Pallas kernel for the coupling law +
+    #       log-det (ops.pallas.affine_coupling); ~6% slower (XLA already
+    #       fuses the elementwise law into the neighboring convs).
+    #   "fused_dilated"   — all parallel dilated grouped branches as ONE
+    #       masked dense conv; 2.4x slower (the 9x9 dense kernel's ~4.6x
+    #       extra FLOPs beat the small-conv overhead it removes).
+    #   "dense_groups"    — each grouped conv as a block-diagonal dense conv
+    #       (models.subnets.DenseMaskedGroupConv); ~8% slower (XLA's
+    #       feature_group_count lowering already fills the lanes well).
+    #   "pallas_subnet"   — a coupling subnet's whole conv chain as one
+    #       VMEM-resident Pallas program (ops.pallas.fused_subnet); ~16x
+    #       slower (Mosaic relayout traffic dwarfs the HBM round trips it
+    #       saves). Requires layer_norm off and default grouped semantics.
+    experimental_lowering: Optional[str] = None
     # Keep ALL flow activations (inter-layer tensors, mask moves, coupling
     # law) in compute_dtype instead of converting each coupling's head and
     # law back to float32. Log-det and loss reductions still accumulate in
@@ -89,17 +86,36 @@ class ConvFlowConfig:
             )
         assert all(s in (0, 1) for s in self.squeeze_factor_blocks)
         assert self.ksize >= 1, "ksize must be a positive kernel size"
+        assert self.experimental_lowering in (
+            None, "pallas_coupling", "fused_dilated", "dense_groups",
+            "pallas_subnet",
+        ), f"unknown experimental_lowering {self.experimental_lowering!r}"
         if self.fused_pallas_subnet:
             assert not self.layer_norm, (
-                "fused_pallas_subnet does not implement layer_norm — use the "
+                "pallas_subnet does not implement layer_norm — use the "
                 "flax subnet path"
             )
             assert not (
-                self.ref_compat_group_slice
-                or self.fuse_dilated_conv
-                or self.dense_masked_groups
-                or self.flow_in_compute_dtype
-            ), "fused_pallas_subnet supports only the default subnet semantics"
+                self.ref_compat_group_slice or self.flow_in_compute_dtype
+            ), "pallas_subnet supports only the default subnet semantics"
+
+    # internal views of the lowering knob (field names the model code and
+    # the perf notes use; exactly one is true when the knob is set)
+    @property
+    def use_pallas_coupling(self) -> bool:
+        return self.experimental_lowering == "pallas_coupling"
+
+    @property
+    def fuse_dilated_conv(self) -> bool:
+        return self.experimental_lowering == "fused_dilated"
+
+    @property
+    def dense_masked_groups(self) -> bool:
+        return self.experimental_lowering == "dense_groups"
+
+    @property
+    def fused_pallas_subnet(self) -> bool:
+        return self.experimental_lowering == "pallas_subnet"
 
 
 def perf_arch_config(io_shape=(28, 28, 2), x_d=1, **overrides) -> ConvFlowConfig:

@@ -152,6 +152,7 @@ def make_scan_train_step(
     noise_mode: str = "full",
     x_d: Optional[int] = None,
     state_sharding=None,
+    unroll: int = 1,
 ):
     """A multi-step train function: ``num_inner`` optimizer steps fused into
     ONE XLA program via ``lax.scan``.
@@ -195,7 +196,10 @@ def make_scan_train_step(
             state = state.apply_gradients(grads=grads)
             return (state, key), out
 
-        (state, _), outs = jax.lax.scan(body, (state, key), xy_stack)
+        # unroll > 1 gives XLA's scheduler a window across optimizer steps
+        # (perf A/B knob; measured results in docs/PERF_NOTES.md)
+        (state, _), outs = jax.lax.scan(body, (state, key), xy_stack,
+                                        unroll=unroll)
         return state, jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), outs)
 
     if mesh is None:

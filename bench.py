@@ -32,10 +32,11 @@ import time
 import numpy as np
 
 # fresh sweep (docs/PERF_NOTES.md): 16 -> 8981 sps, 32 -> 10136, 64 -> 10986,
-# 128 -> 10976, 256 -> 11450 (but 3.5x the compile time). 64 is the knee —
-# the ~30 ms blocking readback is amortized to <2% and step time converges
-# to the profiler's ~11 ms device floor.
-SCAN_INNER = int(os.environ.get("BENCH_INNER", 64))
+# 128 -> 10976, 256 -> 11450. Round-2 re-sweep under host load moved the
+# default to 256: the bigger program also amortizes host-side dispatch, which
+# the 64-step program re-exposes whenever the host is busy (256 -> 11307 vs
+# 64 -> 9647 under a concurrent CPU training). Compile is ~240 s, paid once.
+SCAN_INNER = int(os.environ.get("BENCH_INNER", 256))
 
 
 def main():
@@ -75,12 +76,10 @@ def main():
         # measured SLOWER when on (bf16 end-to-end loses XLA convert fusions
         # and halves sampling throughput — docs/PERF_NOTES.md); keep off
         flow_in_compute_dtype=os.environ.get("BENCH_FLOW_DTYPE", "0") == "1",
-        # fused Pallas coupling law — measured ~6% slower than XLA's own
-        # fusion at flagship sizes (docs/PERF_NOTES.md); opt-in for A/Bs
-        use_pallas_coupling=os.environ.get("BENCH_PALLAS", "0") == "1",
-        # grouped convs lowered as block-diagonal dense convs (lane-fill
-        # experiment, models.subnets.DenseMaskedGroupConv)
-        dense_masked_groups=os.environ.get("BENCH_DENSE_GROUPS", "0") == "1",
+        # alternative lowerings for A/Bs (ALL measured slower —
+        # models/arch.py): "pallas_coupling" | "fused_dilated" |
+        # "dense_groups" | "pallas_subnet"
+        experimental_lowering=os.environ.get("BENCH_LOWERING") or None,
         **arch,
     )
     model = ConvCFlow(cfg)
@@ -89,7 +88,12 @@ def main():
         rng.normal(size=(SCAN_INNER, batch) + cfg.io_shape), jnp.float32
     )
     state = create_train_state(model, xy[0, :1], learning_rate=3e-4)
-    multi = make_scan_train_step(model, num_inner=SCAN_INNER, noise_mode="none")
+    # unroll=2 lets the scheduler overlap across adjacent optimizer steps:
+    # 11574 vs 11307 sps at inner=256 (+2.4%, docs/PERF_NOTES.md)
+    multi = make_scan_train_step(
+        model, num_inner=SCAN_INNER, noise_mode="none",
+        unroll=int(os.environ.get("BENCH_UNROLL", 2)),
+    )
     key = jax.random.PRNGKey(0)
     alpha = jnp.float32(1.0)
 
@@ -181,8 +185,8 @@ def main():
             stored = json.load(f)
     overridden = [
         k for k in ("BENCH_ARCH", "BENCH_BATCH", "BENCH_DTYPE",
-                    "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_PALLAS",
-                    "BENCH_DENSE_GROUPS", "BENCH_INNER")
+                    "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_LOWERING",
+                    "BENCH_INNER", "BENCH_UNROLL")
         if os.environ.get(k)
     ]
     baseline = stored.get(platform)

@@ -119,7 +119,7 @@ def test_gradients_match_flax(rng):
 
 @pytest.mark.parametrize("fused_subnet", [True, False])
 def test_full_model_equivalence(rng, fused_subnet):
-    """ConvCFlow(fused_pallas_subnet=True) == standard model with transplanted
+    """ConvCFlow(experimental_lowering="pallas_subnet") == standard model with transplanted
     params: encode, log-det, decode."""
     arch = dict(
         io_shape=(8, 8, 2), x_d=1, squeeze_factor_blocks=(0, 1),
@@ -127,7 +127,7 @@ def test_full_model_equivalence(rng, fused_subnet):
         ksize=3, fused_subnet=fused_subnet,
     )
     m0 = ConvCFlow(ConvFlowConfig(**arch))
-    m1 = ConvCFlow(ConvFlowConfig(fused_pallas_subnet=True, **arch))
+    m1 = ConvCFlow(ConvFlowConfig(experimental_lowering="pallas_subnet", **arch))
     xy = jnp.asarray(rng.normal(size=(4, 8, 8, 2)), jnp.float32)
     p0 = m0.init(jax.random.PRNGKey(0), xy)["params"]
     p1 = jax.tree_util.tree_map(

@@ -352,7 +352,7 @@ def test_fused_dilated_conv_model_roundtrip(rng):
         io_shape=(16, 16, 2), x_d=1,
         squeeze_factor_blocks=(0, 1), res_blocks=(1, 1),
         num_kernels=(16, 16), cardinality=(2, 2),
-        fuse_dilated_conv=True,
+        experimental_lowering="fused_dilated",
     )
     model, params = init_conv(cfg)
     xy = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
@@ -403,7 +403,7 @@ def test_dense_masked_groups_model_roundtrip(rng):
         io_shape=(16, 16, 2), x_d=1,
         squeeze_factor_blocks=(0, 1), res_blocks=(1, 1),
         num_kernels=(16, 16), cardinality=(2, 2),
-        dense_masked_groups=True,
+        experimental_lowering="dense_groups",
     )
     model, params = init_conv(cfg)
     xy = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
@@ -501,7 +501,7 @@ def test_config_fuzz_roundtrip_fused_pallas(rng):
             squeeze_factor_blocks=sf, res_blocks=tuple([1] * nb),
             num_kernels=ks, cardinality=card, ksize=3,
             fused_subnet=r.choice([False, True]),
-            fused_pallas_subnet=True,
+            experimental_lowering="pallas_subnet",
         )
         try:
             model, params = init_conv(cfg)

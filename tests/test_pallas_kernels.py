@@ -80,7 +80,7 @@ def test_conv_model_pallas_flag_roundtrip(rng, interpret):
         res_blocks=(1, 1),
         num_kernels=(8, 8),
         cardinality=(2, 2),
-        use_pallas_coupling=True,
+        experimental_lowering="pallas_coupling",
     )
     model = ConvCFlow(cfg)
     xy = jnp.asarray(rng.normal(size=(8, 4, 4, 2)).astype(np.float32))
@@ -90,7 +90,7 @@ def test_conv_model_pallas_flag_roundtrip(rng, interpret):
     np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
 
     # same params, pallas off -> identical forward
-    cfg2 = dataclasses.replace(cfg, use_pallas_coupling=False)
+    cfg2 = dataclasses.replace(cfg, experimental_lowering=None)
     zy2, ld2 = ConvCFlow(cfg2).apply(params, xy)
     np.testing.assert_allclose(np.asarray(zy), np.asarray(zy2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(ld2), rtol=1e-5, atol=1e-5)

@@ -65,8 +65,9 @@ def fuzz_conv(seed: int, n: int) -> int:
             layer_norm=r.choice([False, True]),
             fused_subnet=r.choice([False, True]),
             # alternative lowerings / compat modes must preserve bijectivity
-            dense_masked_groups=r.choice([False, False, True]),
-            fuse_dilated_conv=r.choice([False, False, True]),
+            experimental_lowering=r.choice(
+                [None, None, "dense_groups", "fused_dilated"]
+            ),
             ref_compat_group_slice=r.choice([False, False, True]),
         )
         try:

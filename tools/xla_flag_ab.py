@@ -12,10 +12,14 @@ readback).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/xla_flag_ab.py` without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

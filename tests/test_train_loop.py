@@ -77,6 +77,36 @@ def test_scan_train_step_matches_sequential():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_scan_train_step_unroll_equivalent():
+    """unroll is a scheduling knob (the bench default is 2): it must not
+    change the training math vs the rolled scan."""
+    from arl_conditional_normalizing_flows_tpu.train import make_scan_train_step
+
+    model = ToyCINN(CFG)
+    xy = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 32, 3)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(5)
+    alpha = jnp.float32(0.7)  # noise ON: the key chain must also be identical
+
+    results = []
+    for unroll in (1, 2, 4):
+        state = create_train_state(model, xy[0, :1], 1e-3, seed=0)
+        multi = make_scan_train_step(model, num_inner=4, noise_mode="full",
+                                     unroll=unroll)
+        state, out = multi(state, xy, key, alpha)
+        results.append((float(out["loss"]), state.params))
+
+    for loss, params in results[1:]:
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(results[0][1]),
+            jax.tree_util.tree_leaves(params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_scan_train_step_sharded():
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -25,6 +25,28 @@ def _config_to_json(cfg) -> str:
     return json.dumps(d, sort_keys=True)
 
 
+# arch.json dicts written before the four lowering booleans collapsed into
+# the single ``experimental_lowering`` knob (ConvFlowConfig) carry the old
+# keys; map them to the equivalent value so pre-rename checkpoint directories
+# keep restoring (they describe the IDENTICAL architecture).
+_LEGACY_LOWERING_KEYS = {
+    "use_pallas_coupling": "pallas_coupling",
+    "fuse_dilated_conv": "fused_dilated",
+    "dense_masked_groups": "dense_groups",
+    "fused_pallas_subnet": "pallas_subnet",
+}
+
+
+def _normalize_meta(d: dict) -> dict:
+    if any(k in d for k in _LEGACY_LOWERING_KEYS):
+        lowering = None
+        for old_key, value in _LEGACY_LOWERING_KEYS.items():
+            if d.pop(old_key, False):
+                lowering = value
+        d.setdefault("experimental_lowering", lowering)
+    return d
+
+
 class CheckpointManager:
     """Orbax-backed checkpoints of (params, opt_state, epoch) + arch metadata."""
 
@@ -57,7 +79,11 @@ class CheckpointManager:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 existing = f.read()
-            if existing != meta:
+            # compare as normalized dicts, not raw strings: legacy key
+            # spellings of the same architecture must not fail restore
+            if _normalize_meta(json.loads(existing)) != _normalize_meta(
+                json.loads(meta)
+            ):
                 raise ValueError(
                     "checkpoint directory was written with a different "
                     f"architecture:\n  stored: {existing}\n  current: {meta}\n"

@@ -233,6 +233,10 @@ def roofline_report(
         report["conv_hbm_utilization"] = (
             conv_bytes / measured_step_seconds / hbm_bw
         )
+        # deprecated round-1 key (was an XLA-aggregate-bytes ratio, not
+        # comparable to conv_hbm_utilization): kept as null for one round so
+        # cross-round scripts see an explicit schema break, not a missing key
+        report["hbm_utilization"] = None
         report["fraction_of_roofline"] = bound_s / measured_step_seconds
         if batch:
             report["bound_samples_per_sec"] = batch / bound_s

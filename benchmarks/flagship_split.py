@@ -13,14 +13,22 @@ the two implementations can consume it from separate processes.
 
 Usage:
   python benchmarks/flagship_split.py gen  [epochs]          # build stream
-  python benchmarks/flagship_split.py ref  [epochs]          # TF reference
-  python benchmarks/flagship_split.py ours [epochs] [cpu|tpu]
+  python benchmarks/flagship_split.py ref  [epochs] [--seed N]
+  python benchmarks/flagship_split.py ours [epochs] [cpu|tpu] [--seed N]
   python benchmarks/flagship_split.py merge [epochs]         # -> results json
 
 Each training leg appends one JSON line per epoch to
 benchmarks/results/flagship600_{ref|ours}.jsonl (resume-safe reporting: a
 partial run still yields a trajectory). `merge` combines both logs into
 benchmarks/results/conv_train_parity.json under key "image_flagship_600".
+
+``--seed N`` (N != 0) changes ONLY the model-init / optimizer seed — the
+materialized batch stream stays byte-identical (its key chain is pinned to
+SEED+7 inside ``gen``) — and logs to flagship600_{impl}_s{N}.jsonl. Multi-seed
+legs give the run-to-run variance band that a single-trajectory comparison on
+a 128-image chaotic problem cannot (VERDICT r2 weak #1). ``merge`` picks up
+every per-seed log present and emits per-implementation tail-statistics bands
+(last-20-epoch mean loss, best-seen) alongside the seed-0 trajectories.
 """
 
 from __future__ import annotations
@@ -104,16 +112,17 @@ def _stream(epochs: int) -> np.ndarray:
     return mm
 
 
-def _log_path(impl: str) -> str:
-    return os.path.join(RESULTS_DIR, f"flagship600_{impl}.jsonl")
+def _log_path(impl: str, seed: int = 0) -> str:
+    suffix = "" if seed == 0 else f"_s{seed}"
+    return os.path.join(RESULTS_DIR, f"flagship600_{impl}{suffix}.jsonl")
 
 
-def _append(impl: str, row: dict) -> None:
-    with open(_log_path(impl), "a") as f:
+def _append(impl: str, row: dict, seed: int = 0) -> None:
+    with open(_log_path(impl, seed), "a") as f:
         f.write(json.dumps(row) + "\n")
 
 
-def run_ref(epochs: int) -> None:
+def run_ref(epochs: int, seed: int = SEED) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -123,8 +132,8 @@ def run_ref(epochs: int) -> None:
 
     cref = import_conv_reference()
     sf, nrb, nk, card = ARCH
-    tf.random.set_seed(SEED)
-    np.random.seed(SEED)
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
     m = cref.cFlow(
         io_shape=list(XY_SHAPE), x_d=1, squeeze_factor_block_list=list(sf),
         ResNeXt_block_list=list(nrb), num_kernels_list=list(nk),
@@ -160,11 +169,11 @@ def run_ref(epochs: int) -> None:
             "y_loss": round(float(mean[2]), 3),
             "detJ_loss": round(float(mean[3]), 3),
             "t": round(time.time() - t0, 1),
-        })
+        }, seed)
     print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
 
 
-def run_ours(epochs: int, platform: str = "cpu") -> None:
+def run_ours(epochs: int, platform: str = "cpu", seed: int = SEED) -> None:
     import jax
 
     if platform == "cpu":
@@ -191,7 +200,7 @@ def run_ours(epochs: int, platform: str = "cpu") -> None:
         ref_compat_group_slice=True,
     )
     model = ConvCFlow(cfg)
-    state = create_train_state(model, jnp.zeros((1,) + XY_SHAPE), LR, seed=SEED)
+    state = create_train_state(model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed)
     step, _ = make_step_fns(model, noise_mode="none")
     mm = _stream(epochs)
     kdummy = jax.random.PRNGKey(0)
@@ -213,21 +222,33 @@ def run_ours(epochs: int, platform: str = "cpu") -> None:
             "detJ_loss": round(float(mean[3]), 3),
             "platform": platform,
             "t": round(time.time() - t0, 1),
-        })
+        }, seed)
     print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
           flush=True)
 
 
 def merge(epochs: int) -> None:
-    def read(impl):
+    import glob as _glob
+
+    def read_log(path):
         rows = {}
-        with open(_log_path(impl)) as f:
+        with open(path) as f:
             for line in f:
                 r = json.loads(line)
                 rows[r["epoch"]] = r  # last write wins on restart overlap
         return [rows[e] for e in sorted(rows)]
 
-    ref, ours = read("ref"), read("ours")
+    def read_seeds(impl):
+        """seed -> rows, for every per-seed log present (seed 0 = no suffix)."""
+        out = {0: read_log(_log_path(impl))}
+        for p in sorted(_glob.glob(
+                os.path.join(RESULTS_DIR, f"flagship600_{impl}_s*.jsonl"))):
+            seed = int(os.path.basename(p).rsplit("_s", 1)[1].split(".")[0])
+            out[seed] = read_log(p)
+        return out
+
+    ref_seeds, ours_seeds = read_seeds("ref"), read_seeds("ours")
+    ref, ours = ref_seeds[0], ours_seeds[0]
     n = min(len(ref), len(ours))
     marks = sorted({min(e, n - 1) for e in (0, 9, 49, 99, 149, 299, 449, n - 1)})
     names = ("loss", "z_loss", "y_loss", "detJ_loss")
@@ -241,6 +262,33 @@ def merge(epochs: int) -> None:
             "seconds": rows[n - 1]["t"],
         }
 
+    def tail_stats(rows):
+        """Per-leg tail summary over whatever epochs the leg completed."""
+        m = len(rows)
+        tail = rows[max(0, m - 20):]
+        loss = [r["loss"] for r in tail]
+        yl = [r["y_loss"] for r in tail]
+        return {
+            "epochs": m,
+            "last20_mean_loss": round(float(np.mean(loss)), 1),
+            "last20_std_loss": round(float(np.std(loss)), 1),
+            "last20_mean_y_loss": round(float(np.mean(yl)), 1),
+            "best_loss": round(min(r["loss"] for r in rows), 1),
+        }
+
+    def band(seed_map):
+        legs = {f"seed{s}": tail_stats(r) for s, r in sorted(seed_map.items())}
+        full = [t for t in legs.values() if t["epochs"] >= n]
+        summary = {}
+        if full:
+            for key in ("last20_mean_loss", "best_loss"):
+                vals = [t[key] for t in full]
+                summary[key] = {
+                    "min": min(vals), "max": max(vals),
+                    "mean": round(float(np.mean(vals)), 1),
+                }
+        return {"legs": legs, "n_full_legs": len(full), "band": summary}
+
     out = {
         "task": "class-conditional 28x28 synthetic, identical batches, "
                 "FLAGSHIP arch (conv_cINN.py:56-65), full 600-epoch budget",
@@ -250,6 +298,7 @@ def merge(epochs: int) -> None:
         "reference": side(ref),
         "ours": side(ours),
         "ours_platform": ours[0].get("platform", "cpu"),
+        "seed_bands": {"reference": band(ref_seeds), "ours": band(ours_seeds)},
     }
     print(json.dumps(out, indent=2))
     path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
@@ -263,14 +312,20 @@ def merge(epochs: int) -> None:
 
 
 def main():
-    cmd = sys.argv[1]
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    argv = list(sys.argv[1:])
+    seed = SEED
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i:i + 2]
+    cmd = argv[0]
+    epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
         gen(epochs)
     elif cmd == "ref":
-        run_ref(epochs)
+        run_ref(epochs, seed)
     elif cmd == "ours":
-        run_ours(epochs, sys.argv[3] if len(sys.argv) > 3 else "cpu")
+        run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed)
     elif cmd == "merge":
         merge(epochs)
     else:

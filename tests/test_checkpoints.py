@@ -78,3 +78,40 @@ def test_arch_contract_enforced(tmp_path):
     other = ToyConfig(num_coupling_layers=6, intermediate_dims=8, num_layers=1)
     with pytest.raises(ValueError, match="different"):
         CheckpointManager(d, config=other)
+
+
+def test_legacy_lowering_keys_restore(tmp_path):
+    """arch.json files written before the four lowering booleans collapsed
+    into ``experimental_lowering`` must still restore: same architecture,
+    older key spelling (ADVICE r2 medium)."""
+    import dataclasses
+    import json
+
+    from arl_conditional_normalizing_flows_tpu.models import ConvFlowConfig
+
+    cfg = ConvFlowConfig(
+        io_shape=(4, 4, 2), x_d=1, squeeze_factor_blocks=(0,),
+        res_blocks=(1,), num_kernels=(8,), cardinality=(2,),
+    )
+    d = tmp_path / "ck"
+    d.mkdir()
+    legacy = dataclasses.asdict(cfg)
+    del legacy["experimental_lowering"]
+    legacy.update(
+        use_pallas_coupling=False, fuse_dilated_conv=False,
+        dense_masked_groups=False, fused_pallas_subnet=False,
+    )
+    (d / "arch.json").write_text(json.dumps(legacy, sort_keys=True))
+    # must NOT raise despite the raw strings differing
+    mgr = CheckpointManager(str(d), config=cfg)
+    mgr.close()
+
+    # a legacy file with a lowering ENABLED maps to the named value...
+    legacy["use_pallas_coupling"] = True
+    (d / "arch.json").write_text(json.dumps(legacy, sort_keys=True))
+    cfg_pallas = dataclasses.replace(cfg, experimental_lowering="pallas_coupling")
+    mgr = CheckpointManager(str(d), config=cfg_pallas)
+    mgr.close()
+    # ...and still rejects a config whose lowering does not match
+    with pytest.raises(ValueError, match="different"):
+        CheckpointManager(str(d), config=cfg)

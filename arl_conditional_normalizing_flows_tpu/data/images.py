@@ -42,11 +42,20 @@ from arl_conditional_normalizing_flows_tpu.ops.logit import logitify
 
 
 def _find_cached_mnist(name: str) -> Optional[str]:
-    for base in [
+    """Locate a cached keras-format archive (``{x,y}_{train,test}`` arrays,
+    the layout keras.datasets.mnist.load_data caches,
+    create_tfrecords.py:76-88). ``ARL_CNF_DATA_DIR`` takes priority so a
+    user (or test) can point at any directory without moving files."""
+    bases = []
+    env = os.environ.get("ARL_CNF_DATA_DIR")
+    if env:
+        bases.append(env)
+    bases += [
         os.path.expanduser("~/.keras/datasets"),
         os.path.expanduser("~/.cache/arl_cnf_tpu"),
         "/root/datasets",
-    ]:
+    ]
+    for base in bases:
         p = os.path.join(base, f"{name}.npz")
         if os.path.exists(p):
             return p

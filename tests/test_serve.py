@@ -127,3 +127,59 @@ def test_multi_platform_export_from_cpu(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.call(z, y)), np.asarray(fn(z, y)), rtol=1e-6, atol=1e-6
     )
+
+
+def test_multidraw_matches_repeated_single_draw(rng, tmp_path):
+    """The multi-draw entry (one call -> D batched draws, VERDICT r2 #3) must
+    equal D independent single-draw calls, round-trip through disk, and serve
+    any (d, b) via the doubly-symbolic export."""
+    from arl_conditional_normalizing_flows_tpu.serve import (
+        export_multidraw_sampler,
+        make_multidraw_fn,
+    )
+
+    model, params, cfg = _conv()
+    fn = make_image_serving_fn(model, params, cfg.x_d)
+    h, w, _ = cfg.io_shape
+
+    d, b = 3, 4
+    z = jnp.asarray(rng.normal(size=(d, b, h, w, 1)).astype(np.float32))
+    y = jnp.full((b, h, w, 1), 0.5, jnp.float32)
+
+    multi = make_multidraw_fn(fn)
+    out = multi(z, y)
+    assert out.shape == (d, b, h, w, 1)
+    for i in range(d):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(fn(z[i], y)), rtol=1e-6, atol=1e-6
+        )
+
+    exported = export_multidraw_sampler(fn, (h, w, 1), (h, w, 1))
+    path = os.path.join(tmp_path, "multidraw.shlo")
+    save_artifact(path, exported, metadata={"entry": "multidraw"})
+    loaded = load_artifact(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(z, y)), np.asarray(out), rtol=1e-6, atol=1e-6
+    )
+    # any other (d, b) from the same artifact
+    z2 = jnp.asarray(rng.normal(size=(7, 2, h, w, 1)).astype(np.float32))
+    y2 = jnp.zeros((2, h, w, 1), jnp.float32)
+    assert loaded.call(z2, y2).shape == (7, 2, h, w, 1)
+
+
+def test_multidraw_toy(rng):
+    from arl_conditional_normalizing_flows_tpu.serve import (
+        export_multidraw_sampler,
+    )
+
+    model, params, _ = _toy()
+    fn = make_toy_serving_fn(model, params, x_d=2)
+    exported = export_multidraw_sampler(fn, (2,), (1,))
+    z = jnp.asarray(rng.normal(size=(5, 8, 2)).astype(np.float32))
+    y = jnp.full((8, 1), -0.3, jnp.float32)
+    out = np.asarray(exported.call(z, y))
+    assert out.shape == (5, 8, 3)
+    for i in range(5):
+        np.testing.assert_allclose(
+            out[i], np.asarray(fn(z[i], y)), rtol=1e-6, atol=1e-6
+        )

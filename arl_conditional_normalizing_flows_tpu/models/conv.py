@@ -125,16 +125,33 @@ class ConvCouplingLayer(nn.Module):
             return self.net_ab(u1c)
         return self.net_a(u1c), self.net_b(u1c)
 
+    def forward_halves(self, u1c, u2c):
+        """The coupling law on ALREADY-COMPRESSED halves: (u1c, u2c) ->
+        (v2c, per-sample delta log|det J|). Lets the model skip the
+        combine->compress relayout between complementary-mask couplings:
+        ``compress(combine(u1c, v2c, m), m') == v2c`` and
+        ``compress(combine(u1c, v2c, m), m) == u1c`` exactly, so the full
+        tensor between two such layers never needs to be materialized
+        (HBM-traffic eliminator; the per-layer protocol itself is
+        conv_cINN_make_model.py:1258-1328)."""
+        a, b = self._coupling_fn(u1c)
+        if self.use_pallas:
+            return fused_affine_forward(a, b, u2c)
+        return coupling_ops.affine_forward(a, b, u2c)
+
+    def inverse_halves(self, v1c, v2c):
+        """Inverse law on compressed halves: (v1c, v2c) -> u2c."""
+        a, b = self._coupling_fn(v1c)
+        if self.use_pallas:
+            return fused_affine_inverse(a, b, v2c)
+        return coupling_ops.affine_inverse(a, b, v2c)
+
     def forward(self, u):
         """u -> (v, per-sample delta log|det J|)."""
         m = self.which_mask
         u1c = mask_ops.compress(u, m)
         u2c = mask_ops.compress(u, mask_ops.COMPLEMENT[m])
-        a, b = self._coupling_fn(u1c)
-        if self.use_pallas:
-            v2c, delta = fused_affine_forward(a, b, u2c)
-        else:
-            v2c, delta = coupling_ops.affine_forward(a, b, u2c)
+        v2c, delta = self.forward_halves(u1c, u2c)
         v = mask_ops.combine(u1c, v2c, m)
         return v, delta
 
@@ -142,11 +159,7 @@ class ConvCouplingLayer(nn.Module):
         m = self.which_mask
         v1c = mask_ops.compress(v, m)
         v2c = mask_ops.compress(v, mask_ops.COMPLEMENT[m])
-        a, b = self._coupling_fn(v1c)
-        if self.use_pallas:
-            u2c = fused_affine_inverse(a, b, v2c)
-        else:
-            u2c = coupling_ops.affine_inverse(a, b, v2c)
+        u2c = self.inverse_halves(v1c, v2c)
         return mask_ops.combine(v1c, u2c, m)
 
 
@@ -213,13 +226,55 @@ class ConvCFlow(nn.Module):
             else None
         )
 
+    def _couple_pairs(self, plan):
+        """Static walk of ``plan`` yielding ("pair", i, j) for consecutive
+        couplings with COMPLEMENTARY masks and the raw ops otherwise.
+
+        For a pair (mask m then mask m'=COMPLEMENT[m]) the intermediate full
+        tensor is redundant: ``compress(combine(u1c, v2c, m), m') == v2c``
+        and ``compress(..., m) == u1c`` are exact index identities, so the
+        second coupling can consume the first one's compressed halves
+        directly — eliminating one combine + two compress relayouts per pair
+        (half of all inter-coupling permutation copies under the fixed
+        (0,1,2,3) block order, conv_cINN_make_model.py:1545-1550)."""
+        out = []
+        k = 0
+        while k < len(plan):
+            op = plan[k]
+            nxt = plan[k + 1] if k + 1 < len(plan) else None
+            if (
+                op[0] == "couple"
+                and nxt is not None
+                and nxt[0] == "couple"
+                and self.couplings[nxt[1]].which_mask
+                == mask_ops.COMPLEMENT[self.couplings[op[1]].which_mask]
+            ):
+                out.append(("pair", op[1], nxt[1]))
+                k += 2
+            else:
+                out.append(op)
+                k += 1
+        return out
+
     def forward(self, xy):
         """xy' -> (zy, log_det). zy has the SAME shape as xy; log_det is (B,)."""
         uv = xy if self.act_dtype is None else xy.astype(self.act_dtype)
         zy = None
         log_det = jnp.zeros(xy.shape[:-3], jnp.float32)
-        for op in self.plan:
-            if op[0] == "couple":
+        for op in self._couple_pairs(self.plan):
+            if op[0] == "pair":
+                first, second = self.couplings[op[1]], self.couplings[op[2]]
+                m = first.which_mask
+                mc = mask_ops.COMPLEMENT[m]
+                u1c = mask_ops.compress(uv, m)
+                u2c = mask_ops.compress(uv, mc)
+                v2c, d1 = first.forward_halves(u1c, u2c)
+                # second layer's live half under mask mc IS v2c; its
+                # transformed half IS u1c — no combine/compress in between
+                w2c, d2 = second.forward_halves(v2c, u1c)
+                uv = mask_ops.combine(v2c, w2c, mc)
+                log_det = log_det + d1 + d2
+            elif op[0] == "couple":
                 uv, delta = self.couplings[op[1]].forward(uv)
                 log_det = log_det + delta
             elif op[0] == "squeeze":
@@ -254,9 +309,22 @@ class ConvCFlow(nn.Module):
                 acc = _maybe_squeeze_zy(acc)
             else:
                 uv, acc = squeeze_ops.factor_out(uv, acc)
-        # all ops backward
-        for op in reversed(self.plan):
-            if op[0] == "couple":
+        # all ops backward; consecutive complementary-mask couplings fuse
+        # exactly as in forward (the reversed (0,1,2,3) order pairs 3-with-2
+        # and 1-with-0)
+        for op in self._couple_pairs(tuple(reversed(self.plan))):
+            if op[0] == "pair":
+                first, second = self.couplings[op[1]], self.couplings[op[2]]
+                m = first.which_mask
+                mc = mask_ops.COMPLEMENT[m]
+                v1c = mask_ops.compress(uv, m)
+                v2c = mask_ops.compress(uv, mc)
+                u2c = first.inverse_halves(v1c, v2c)
+                # intermediate full tensor combine(v1c, u2c, m) is redundant:
+                # the next (mask mc) layer's halves are exactly (u2c, v1c)
+                t2c = second.inverse_halves(u2c, v1c)
+                uv = mask_ops.combine(u2c, t2c, mc)
+            elif op[0] == "couple":
                 uv = self.couplings[op[1]].inverse(uv)
             elif op[0] == "squeeze":
                 uv = squeeze_ops.unsqueeze(uv)

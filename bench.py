@@ -152,7 +152,7 @@ def main():
 
     # roofline + MFU for the single train step (VERDICT item 2: the
     # speed-of-light claim as computed bound math, utils/roofline.py)
-    mfu = frac = None
+    mfu = frac = sample_frac = None
     if os.environ.get("BENCH_ROOFLINE", "1") == "1":
         try:
             from arl_conditional_normalizing_flows_tpu.train import make_step_fns
@@ -176,6 +176,82 @@ def main():
             }
         except Exception as e:  # cost analysis is best-effort on remote backends
             detail["roofline_error"] = repr(e)
+
+        # sampling-axis roofline (VERDICT r2 missing #3): bound the single
+        # INVERSE pass and compare to the measured scanned per-pass time —
+        # the conditional-sampling engine is the north star (BASELINE.md)
+        try:
+            from arl_conditional_normalizing_flows_tpu.utils import (
+                roofline_report,
+            )
+
+            one_sample = jax.jit(
+                lambda params, z, yc: model.apply(
+                    params, z, yc, method="sample_xy"
+                )
+            )
+            compiled_s = one_sample.lower(state.params, zs[0], y).compile()
+            rep_s = roofline_report(
+                compiled_s,
+                dt_s / SCAN_INNER,
+                jax.devices()[0].device_kind,
+                batch=batch,
+            )
+            sample_frac = rep_s.get("fraction_of_roofline")
+            detail["sampling_roofline"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in rep_s.items()
+            }
+        except Exception as e:
+            detail["sampling_roofline_error"] = repr(e)
+
+    # serving: the multi-draw artifact under the CURRENT host load — one
+    # call computes DRAWS x batch samples with a full host readback (the
+    # realistic serving round-trip; VERDICT r2 weak #5). Reported as
+    # samples/s per call and as a fraction of the device-side scanned rate.
+    serving_sps = None
+    if os.environ.get("BENCH_SERVING", "1") == "1":
+        try:
+            from arl_conditional_normalizing_flows_tpu.serve import (
+                export_multidraw_sampler,
+                make_image_serving_fn,
+            )
+
+            draws = int(os.environ.get("BENCH_DRAWS", 16))
+            serve_fn = make_image_serving_fn(
+                model, state.params, cfg.x_d, de_logit=True
+            )
+            t0 = time.perf_counter()
+            exported = export_multidraw_sampler(
+                serve_fn, (hh, ww, 1), (hh, ww, 1)
+            )
+            export_s = time.perf_counter() - t0
+            zd = jnp.asarray(
+                rng.normal(size=(draws, batch, hh, ww, 1)), jnp.float32
+            )
+            t0 = time.perf_counter()
+            np.asarray(exported.call(zd, y))  # first call compiles
+            first_call_s = time.perf_counter() - t0
+            call_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out_x = np.asarray(exported.call(zd, y))
+                call_times.append(time.perf_counter() - t0)
+            call_med = sorted(call_times)[len(call_times) // 2]
+            serving_sps = draws * batch / call_med
+            assert np.isfinite(out_x).all()
+            detail["serving"] = {
+                "entry": "multidraw",
+                "draws_per_call": draws,
+                "batch": batch,
+                "export_seconds": round(export_s, 1),
+                "first_call_seconds": round(first_call_s, 1),
+                "call_ms": round(call_med * 1e3, 1),
+                "samples_per_sec_per_call": round(serving_sps, 1),
+                "fraction_of_device_side": round(serving_sps / sample_sps, 3),
+            }
+        except Exception as e:
+            detail["serving_error"] = repr(e)
     print(json.dumps(detail), file=sys.stderr)
 
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
@@ -222,6 +298,13 @@ def main():
         line["mfu"] = round(mfu, 4)
     if frac is not None:
         line["fraction_of_roofline"] = round(frac, 3)
+    if sample_frac is not None:
+        line["sampling_fraction_of_roofline"] = round(sample_frac, 3)
+    if serving_sps is not None:
+        line["serving_samples_per_sec"] = round(serving_sps, 1)
+        line["serving_fraction_of_device_side"] = round(
+            serving_sps / sample_sps, 3
+        )
     print(json.dumps(line))
 
 

@@ -112,13 +112,13 @@ def _stream(epochs: int) -> np.ndarray:
     return mm
 
 
-def _log_path(impl: str, seed: int = 0) -> str:
-    suffix = "" if seed == 0 else f"_s{seed}"
+def _log_path(impl: str, seed: int = 0, tag: str = None) -> str:
+    suffix = f"_{tag}" if tag else ("" if seed == 0 else f"_s{seed}")
     return os.path.join(RESULTS_DIR, f"flagship600_{impl}{suffix}.jsonl")
 
 
-def _append(impl: str, row: dict, seed: int = 0) -> None:
-    with open(_log_path(impl, seed), "a") as f:
+def _append(impl: str, row: dict, seed: int = 0, tag: str = None) -> None:
+    with open(_log_path(impl, seed, tag), "a") as f:
         f.write(json.dumps(row) + "\n")
 
 
@@ -173,7 +173,13 @@ def run_ref(epochs: int, seed: int = SEED) -> None:
     print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
 
 
-def run_ours(epochs: int, platform: str = "cpu", seed: int = SEED) -> None:
+def run_ours(
+    epochs: int, platform: str = "cpu", seed: int = SEED,
+    eps: float = None, tag: str = None,
+) -> None:
+    """``eps`` overrides optax.adam's epsilon (default 1e-8; TF/Keras uses
+    1e-7) — a parity-gap hypothesis knob. ``tag`` names the log file
+    (flagship600_ours_{tag}.jsonl) for such hypothesis legs."""
     import jax
 
     if platform == "cpu":
@@ -200,7 +206,14 @@ def run_ours(epochs: int, platform: str = "cpu", seed: int = SEED) -> None:
         ref_compat_group_slice=True,
     )
     model = ConvCFlow(cfg)
-    state = create_train_state(model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed)
+    tx = None
+    if eps is not None:
+        import optax
+
+        tx = optax.adam(LR, eps=eps)
+    state = create_train_state(
+        model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
+    )
     step, _ = make_step_fns(model, noise_mode="none")
     mm = _stream(epochs)
     kdummy = jax.random.PRNGKey(0)
@@ -222,7 +235,7 @@ def run_ours(epochs: int, platform: str = "cpu", seed: int = SEED) -> None:
             "detJ_loss": round(float(mean[3]), 3),
             "platform": platform,
             "t": round(time.time() - t0, 1),
-        }, seed)
+        }, seed, tag)
     print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
           flush=True)
 
@@ -313,11 +326,18 @@ def merge(epochs: int) -> None:
 
 def main():
     argv = list(sys.argv[1:])
-    seed = SEED
-    if "--seed" in argv:
-        i = argv.index("--seed")
-        seed = int(argv[i + 1])
-        del argv[i:i + 2]
+    seed, eps, tag = SEED, None, None
+    for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
+        if flag in argv:
+            i = argv.index(flag)
+            val = cast(argv[i + 1])
+            del argv[i:i + 2]
+            if flag == "--seed":
+                seed = val
+            elif flag == "--eps":
+                eps = val
+            else:
+                tag = val
     cmd = argv[0]
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
@@ -325,7 +345,7 @@ def main():
     elif cmd == "ref":
         run_ref(epochs, seed)
     elif cmd == "ours":
-        run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed)
+        run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag)
     elif cmd == "merge":
         merge(epochs)
     else:

@@ -71,12 +71,26 @@ _DEVICE_PEAKS: List[Tuple[str, Tuple[float, float]]] = [
 ]
 
 
+#: the only entry cross-checked by measurement in this repo (the v5e bench);
+#: other rows are public spec-sheet constants no run has validated
+_VALIDATED_KINDS = ("v5 lite", "v5e")
+
+
 def device_peaks(device_kind: str) -> Optional[Tuple[float, float]]:
     kind = device_kind.lower()
     for sub, peaks in _DEVICE_PEAKS:
         if sub in kind:
             return peaks
     return None
+
+
+def peaks_validated(device_kind: str) -> bool:
+    """True when this device kind's peak-table row has been cross-checked by
+    a measurement in this repo (today: only v5e, docs/PERF_NOTES.md). Reports
+    on other hardware should carry a caveat rather than fail silently-wrong
+    (VERDICT r2 weak #6)."""
+    kind = device_kind.lower()
+    return any(sub in kind for sub in _VALIDATED_KINDS)
 
 
 @dataclasses.dataclass
@@ -209,6 +223,11 @@ def roofline_report(
     if peaks is None:
         report["note"] = "unknown device kind: no peak table entry"
         return report
+    if not peaks_validated(device_kind):
+        report["note"] = (
+            "peak-table row for this device kind is a spec-sheet constant "
+            "not yet cross-checked by a measurement in this repo"
+        )
     peak_flops, hbm_bw = peaks
     conv_bound = sum(max(c.flops / peak_flops, c.bytes / hbm_bw) for c in convs)
     rest_bound = rest_flops / peak_flops  # FLOPs-only: always a valid bound

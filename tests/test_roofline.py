@@ -123,3 +123,19 @@ def test_device_peaks_lookup():
     assert device_peaks("TPU v5 lite") == (197e12, 819e9)
     assert device_peaks("TPU v4") == (275e12, 1228e9)
     assert device_peaks("cpu") is None
+
+
+def test_peak_table_validation_flag():
+    """Only v5e peaks are measurement-validated; other rows must be flagged
+    as spec-sheet constants (VERDICT r2 weak #6) rather than silently
+    trusted."""
+    from arl_conditional_normalizing_flows_tpu.utils.roofline import (
+        device_peaks,
+        peaks_validated,
+    )
+
+    assert peaks_validated("TPU v5 lite")
+    assert peaks_validated("TPU v5e")
+    for kind in ("TPU v4", "TPU v3", "TPU v2", "TPU v6e", "TPU v5p"):
+        assert device_peaks(kind) is not None
+        assert not peaks_validated(kind)

@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--export-platforms", nargs="*", default=None,
                    help="lowering platforms for --export-sampler, e.g. tpu cpu "
                    "(default: current backend)")
+    p.add_argument("--export-multidraw", default=None, metavar="PATH",
+                   help="also write the MULTI-DRAW serving artifact: one call "
+                   "computes (d, b) batched draws per condition, amortizing "
+                   "per-call dispatch (serve.export_multidraw_sampler; both "
+                   "d and b symbolic)")
     return p
 
 
@@ -107,8 +112,9 @@ def main(argv=None):
     mgr.close()
     print(f"restored epoch {epoch}")
 
-    if args.export_sampler:
+    if args.export_sampler or args.export_multidraw:
         from arl_conditional_normalizing_flows_tpu.serve import (
+            export_multidraw_sampler,
             export_sampler,
             make_image_serving_fn,
             save_artifact,
@@ -119,21 +125,33 @@ def main(argv=None):
         fn = make_image_serving_fn(
             model, state.params, cfg.x_d, de_logit=de_logit, residual=residual
         )
-        exported = export_sampler(
-            fn,
-            [(h, w, cfg.x_d), (h, w, xy_d - cfg.x_d)],
-            platforms=args.export_platforms,
-        )
-        side = save_artifact(
-            args.export_sampler, exported,
-            metadata={
-                "arch": raw_arch,
-                "model_type": args.model_type, "epoch": int(epoch),
-                "de_logit": de_logit, "residual": residual,
-            },
-        )
-        print(f"exported serving artifact: {args.export_sampler} "
-              f"({side['nr_bytes']} bytes, platforms={side['platforms']})")
+        meta = {
+            "arch": raw_arch,
+            "model_type": args.model_type, "epoch": int(epoch),
+            "de_logit": de_logit, "residual": residual,
+        }
+        if args.export_sampler:
+            exported = export_sampler(
+                fn,
+                [(h, w, cfg.x_d), (h, w, xy_d - cfg.x_d)],
+                platforms=args.export_platforms,
+            )
+            side = save_artifact(args.export_sampler, exported, metadata=meta)
+            print(f"exported serving artifact: {args.export_sampler} "
+                  f"({side['nr_bytes']} bytes, platforms={side['platforms']})")
+        if args.export_multidraw:
+            exported = export_multidraw_sampler(
+                fn,
+                (h, w, cfg.x_d),
+                (h, w, xy_d - cfg.x_d),
+                platforms=args.export_platforms,
+            )
+            side = save_artifact(
+                args.export_multidraw, exported,
+                metadata={**meta, "entry": "multidraw"},
+            )
+            print(f"exported multidraw artifact: {args.export_multidraw} "
+                  f"({side['nr_bytes']} bytes, platforms={side['platforms']})")
 
     # one forward per batch: the loss components and the encoded latent
     # come from the same pass (a separate encode jit doubled the eval

@@ -358,6 +358,7 @@ def test_cnf_eval_on_checkpoint(tmp_path):
             "--batch-size", "16",
             "--eval-samples", "8",
             "--export-sampler", artifact,
+            "--export-multidraw", artifact + ".multi",
         ]
     )
     assert np.isfinite(report["bits_per_dim"])
@@ -371,6 +372,14 @@ def test_cnf_eval_on_checkpoint(tmp_path):
     loaded = load_artifact(artifact)
     x = loaded.call(jnp.zeros((3, 28, 28, 1)), jnp.full((3, 28, 28, 1), 0.5))
     assert x.shape == (3, 28, 28, 1) and np.isfinite(np.asarray(x)).all()
+
+    # and the multidraw artifact serves (d, b) fan-out from one call
+    multi = load_artifact(artifact + ".multi")
+    xm = multi.call(
+        jnp.zeros((2, 3, 28, 28, 1)), jnp.full((3, 28, 28, 1), 0.5)
+    )
+    assert xm.shape == (2, 3, 28, 28, 1)
+    np.testing.assert_allclose(np.asarray(xm[0]), np.asarray(x), rtol=1e-6, atol=1e-6)
 
 
 def test_conv_driver_data_parallel(tmp_path):

@@ -70,6 +70,14 @@ class ConvFlowConfig:
     # already fuses the converts; see docs/PERF_NOTES.md); kept opt-in for
     # memory-constrained cases. No-op when compute_dtype == float32.
     flow_in_compute_dtype: bool = False
+    # Leave the coupling HEAD tensors (A, b) in compute_dtype instead of
+    # materializing a float32 copy after the head conv; the affine law then
+    # upcasts them INSIDE its elementwise fusion (ops.coupling promotes to
+    # the widest operand dtype), so the flow tensors stay float32 but the
+    # separate convert pass over the head disappears. Changes tanh/scale to
+    # compute_dtype precision — a bench-mode knob, not a parity knob.
+    # No-op when compute_dtype == float32.
+    late_head_cast: bool = False
 
     def __post_init__(self):
         n = len(self.squeeze_factor_blocks)
@@ -90,6 +98,10 @@ class ConvFlowConfig:
             None, "pallas_coupling", "fused_dilated", "dense_groups",
             "pallas_subnet",
         ), f"unknown experimental_lowering {self.experimental_lowering!r}"
+        assert not (
+            self.late_head_cast
+            and self.experimental_lowering == "pallas_coupling"
+        ), "late_head_cast requires the XLA coupling law (mixed-dtype promote)"
         if self.fused_pallas_subnet:
             assert not self.layer_norm, (
                 "pallas_subnet does not implement layer_norm — use the "

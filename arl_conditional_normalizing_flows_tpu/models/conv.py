@@ -65,6 +65,7 @@ class ConvCouplingLayer(nn.Module):
     dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
     keep_compute_dtype: bool = False  # flow_in_compute_dtype (models/arch.py)
+    late_cast: bool = False  # late_head_cast (models/arch.py)
 
     def setup(self):
         h, w, d = self.in_shape
@@ -90,6 +91,7 @@ class ConvCouplingLayer(nn.Module):
             dense_masked_groups=self.dense_masked_groups,
             dtype=self.dtype,
             keep_compute_dtype=self.keep_compute_dtype,
+            late_cast=self.late_cast,
         )
         if self.fused_pallas_subnet:
             from arl_conditional_normalizing_flows_tpu.models.subnets import (
@@ -210,6 +212,7 @@ class ConvCFlow(nn.Module):
                         dense_masked_groups=cfg.dense_masked_groups,
                         dtype=compute_dtype,
                         keep_compute_dtype=cfg.flow_in_compute_dtype,
+                        late_cast=cfg.late_head_cast,
                     )
                 )
             if blk.squeeze_factor:

@@ -318,6 +318,9 @@ class ConvCouplingNet(nn.Module):
     # keep the head (tanh + scale) in ``dtype`` instead of casting to f32 —
     # the flow_in_compute_dtype perf mode (models/arch.py)
     keep_compute_dtype: bool = False
+    # skip ONLY the head's f32 materialization (late_head_cast perf mode):
+    # the affine law upcasts inside its own elementwise fusion
+    late_cast: bool = False
 
     @nn.compact
     def __call__(self, u1):
@@ -350,7 +353,7 @@ class ConvCouplingNet(nn.Module):
             kernel_init=kinit,
             dtype=self.dtype,
         )(y)
-        if not self.keep_compute_dtype:
+        if not self.keep_compute_dtype and not self.late_cast:
             head = head.astype(jnp.float32)
 
         def scale_transform(a):

@@ -33,7 +33,13 @@ def affine_forward(a, b, u2):
     Returns:
         (v2, delta_log_det): v2 same shape as u2, delta_log_det shape (B,).
     """
-    v2 = jnp.exp(a) * u2.astype(a.dtype) + b
+    # the law runs in the WIDEST operand dtype: with a float32 flow and a
+    # late-cast bfloat16 head (models/arch.py ``late_head_cast``) the upcast
+    # of a/b happens inside this elementwise fusion instead of as a separate
+    # materialized convert pass; with flow_in_compute_dtype everything is
+    # already the same dtype and this is a no-op
+    law_dt = jnp.promote_types(a.dtype, u2.dtype)
+    v2 = jnp.exp(a.astype(law_dt)) * u2.astype(law_dt) + b.astype(law_dt)
     axes = tuple(range(1, a.ndim))
     # the log-det reduction always accumulates in float32, even when the
     # coupling law itself runs in a lower compute dtype
@@ -43,4 +49,7 @@ def affine_forward(a, b, u2):
 
 def affine_inverse(a, b, v2):
     """u2 = exp(-a) * (v2 - b) (conv_cINN_make_model.py:1235-1253)."""
-    return jnp.exp(-a) * (v2.astype(a.dtype) - b)
+    law_dt = jnp.promote_types(a.dtype, v2.dtype)
+    return jnp.exp(-a.astype(law_dt)) * (
+        v2.astype(law_dt) - b.astype(law_dt)
+    )

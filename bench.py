@@ -80,6 +80,9 @@ def main():
         # models/arch.py): "pallas_coupling" | "fused_dilated" |
         # "dense_groups" | "pallas_subnet"
         experimental_lowering=os.environ.get("BENCH_LOWERING") or None,
+        # A/B knob: skip the f32 head materialization; the affine law
+        # upcasts inside its elementwise fusion (models/arch.py)
+        late_head_cast=os.environ.get("BENCH_LATE_CAST", "0") == "1",
         **arch,
     )
     model = ConvCFlow(cfg)

@@ -68,3 +68,39 @@ def test_pairing_covers_all_couplings():
     n_single = sum(1 for op in ops if op[0] == "couple")
     assert n_single == 0
     assert n_pairs == len(bound.couplings) // 2
+
+
+def test_late_head_cast_noop_in_float32_and_close_in_bf16():
+    """late_head_cast must be a numerical NO-OP at compute_dtype float32 and
+    stay within bf16 head tolerance at bfloat16 (the law still runs f32 via
+    dtype promotion; ops/coupling.py)."""
+    base = dict(io_shape=(8, 8, 2), x_d=1, squeeze_factor_blocks=(0,),
+                res_blocks=(1,), num_kernels=(8,), cardinality=(2,),
+                dilations=False, fused_subnet=True)
+    xy = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 8, 8, 2)), jnp.float32
+    )
+
+    m32 = ConvCFlow(ConvFlowConfig(**base))
+    params = m32.init(jax.random.PRNGKey(0), xy)
+    m32_late = ConvCFlow(ConvFlowConfig(**base, late_head_cast=True))
+    zy_a, ld_a = m32.apply(params, xy, method="forward")
+    zy_b, ld_b = m32_late.apply(params, xy, method="forward")
+    np.testing.assert_array_equal(np.asarray(zy_a), np.asarray(zy_b))
+    np.testing.assert_array_equal(np.asarray(ld_a), np.asarray(ld_b))
+
+    mbf = ConvCFlow(ConvFlowConfig(**base, compute_dtype="bfloat16"))
+    mbf_late = ConvCFlow(
+        ConvFlowConfig(**base, compute_dtype="bfloat16", late_head_cast=True)
+    )
+    zy_c, ld_c = mbf.apply(params, xy, method="forward")
+    zy_d, ld_d = mbf_late.apply(params, xy, method="forward")
+    assert zy_d.dtype == jnp.float32  # flow tensors stay f32
+    np.testing.assert_allclose(
+        np.asarray(zy_c), np.asarray(zy_d), rtol=2e-2, atol=2e-2
+    )
+    # and the inverse still round-trips through the promoted law
+    back = mbf_late.apply(params, zy_d, method="inverse")
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(xy), rtol=2e-2, atol=2e-2
+    )

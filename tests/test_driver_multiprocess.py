@@ -14,7 +14,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_ranks(extra_args, tmp_path, port, timeout=420):
+def _run_ranks(extra_args, tmp_path, port, timeout=900):
+    # generous timeout: the 2-rank compile+run takes ~5 min when the host is
+    # loaded (e.g. a concurrent TF parity leg), and a spurious timeout here
+    # reads as a sharding bug
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"

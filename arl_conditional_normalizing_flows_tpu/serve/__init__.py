@@ -2,20 +2,24 @@
 
 from arl_conditional_normalizing_flows_tpu.serve.export import (
     export_multidraw_sampler,
+    export_seeded_multidraw_sampler,
     export_sampler,
     load_artifact,
     make_image_serving_fn,
     make_multidraw_fn,
+    make_seeded_multidraw_fn,
     make_toy_serving_fn,
     save_artifact,
 )
 
 __all__ = [
     "export_multidraw_sampler",
+    "export_seeded_multidraw_sampler",
     "export_sampler",
     "load_artifact",
     "make_image_serving_fn",
     "make_multidraw_fn",
+    "make_seeded_multidraw_fn",
     "make_toy_serving_fn",
     "save_artifact",
 ]

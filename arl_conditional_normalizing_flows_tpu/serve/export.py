@@ -41,19 +41,29 @@ def make_image_serving_fn(
     de_logit: bool = False,
     residual: bool = False,
     logit_a: float = 0.01,
+    quantize_uint8: bool = False,
 ):
     """``f(z, y) -> x`` for conv models: z (B,H,W,x_d) latent draw, y
     (B,H,W,y_d) condition plane (class plane or upsampled low-res image);
     returns x (B,H,W,x_d) after optional de-logit / SR-residual
     reconstruction — the SAME ``sample.sampler.postprocess_sampled_xy`` the
     local sampler applies, so served artifacts can never drift from local
-    sampling."""
+    sampling.
+
+    ``quantize_uint8`` returns 8-bit pixels (round(clip(x,0,1)*255)) instead
+    of float32: a 4x smaller device->host readback, which dominates per-call
+    serving latency on remote-attached devices. Appropriate for image
+    payloads (the source data is 8-bit, create_tfrecords.py:91-103); leave
+    off when the caller needs the continuous values."""
 
     def fn(z, y):
         xy = model.apply(params, z, y, method="sample_xy")
-        return postprocess_sampled_xy(
+        x = postprocess_sampled_xy(
             xy, y, x_d, de_logit=de_logit, residual=residual, logit_a=logit_a
         )
+        if quantize_uint8:
+            x = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return x
 
     return fn
 
@@ -128,6 +138,59 @@ def export_sampler(
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     return jexport.export(jax.jit(fn), **kwargs)(*specs)
+
+
+def make_seeded_multidraw_fn(fn, draws: int, z_shape: Tuple[int, ...]):
+    """Throughput serving entry: ``g(seed, y) -> x_stack`` with the latent
+    drawn ON DEVICE.
+
+    The default artifacts take ``z`` as an input (host-controlled PRNG —
+    replayable, shardable). But uploading D x B x H x W x x_d float32 latents
+    costs as much wire time as reading the samples back; on remote-attached
+    devices that upload dominates the call. Here the host sends ONE int32
+    seed; the device draws ``z = normal(fold_in(seed), (D, B) + z_shape)``
+    and runs the multidraw path. Determinism is preserved (same seed + shapes
+    -> same samples); only the ability to inject custom latents is traded
+    away. ``draws`` is baked static; the condition batch stays symbolic."""
+
+    multi = make_multidraw_fn(fn)
+
+    def g(seed, y):
+        b = y.shape[0]
+        key = jax.random.PRNGKey(seed)
+        z_stack = jax.random.normal(
+            key, (draws, b) + tuple(z_shape), jnp.float32
+        )
+        return multi(z_stack, y)
+
+    return g
+
+
+def export_seeded_multidraw_sampler(
+    fn,
+    draws: int,
+    z_shape: Tuple[int, ...],
+    y_shape: Tuple[int, ...],
+    *,
+    symbolic: bool = True,
+    dtype=jnp.float32,
+    platforms: Optional[Sequence[str]] = None,
+) -> jexport.Exported:
+    """Export :func:`make_seeded_multidraw_fn` with seed () int32 and
+    y (b, *y_shape)."""
+    if symbolic:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = 1
+    g = make_seeded_multidraw_fn(fn, draws, z_shape)
+    specs = [
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((b,) + tuple(y_shape), dtype),
+    ]
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(g), **kwargs)(*specs)
 
 
 def export_multidraw_sampler(

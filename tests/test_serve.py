@@ -183,3 +183,48 @@ def test_multidraw_toy(rng):
         np.testing.assert_allclose(
             out[i], np.asarray(fn(z[i], y)), rtol=1e-6, atol=1e-6
         )
+
+
+def test_seeded_multidraw_and_uint8(rng, tmp_path):
+    """Device-side latent draw (one int32 seed on the wire) + uint8 payload:
+    deterministic per seed, distinct across seeds, quantization consistent
+    with the float32 entry."""
+    from arl_conditional_normalizing_flows_tpu.serve import (
+        export_seeded_multidraw_sampler,
+        make_seeded_multidraw_fn,
+    )
+
+    model, params, cfg = _conv()
+    h, w, _ = cfg.io_shape
+    fn_f32 = make_image_serving_fn(model, params, cfg.x_d, de_logit=True)
+    fn_u8 = make_image_serving_fn(
+        model, params, cfg.x_d, de_logit=True, quantize_uint8=True
+    )
+
+    y = jnp.full((5, h, w, 1), 0.5, jnp.float32)
+    g = make_seeded_multidraw_fn(fn_u8, draws=3, z_shape=(h, w, 1))
+    out1 = np.asarray(g(jnp.int32(7), y))
+    out2 = np.asarray(g(jnp.int32(7), y))
+    out3 = np.asarray(g(jnp.int32(8), y))
+    assert out1.shape == (3, 5, h, w, 1) and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)  # deterministic per seed
+    assert not np.array_equal(out1, out3)  # seeds differ
+
+    # quantization agrees with the f32 entry at the same latents
+    z = jax.random.normal(jax.random.PRNGKey(7), (3, 5, h, w, 1), jnp.float32)
+    xf = np.asarray(fn_f32(z[0], y))
+    xu = np.asarray(fn_u8(z[0], y))
+    np.testing.assert_array_equal(
+        xu, np.round(np.clip(xf, 0, 1) * 255).astype(np.uint8)
+    )
+
+    # exported artifact round-trips and keeps symbolic batch
+    exported = export_seeded_multidraw_sampler(fn_u8, 3, (h, w, 1), (h, w, 1))
+    path = os.path.join(tmp_path, "seeded.shlo")
+    save_artifact(path, exported, metadata={"entry": "seeded_multidraw"})
+    loaded = load_artifact(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.call(jnp.int32(7), y)), out1
+    )
+    y2 = jnp.zeros((2, h, w, 1), jnp.float32)
+    assert loaded.call(jnp.int32(0), y2).shape == (3, 2, h, w, 1)

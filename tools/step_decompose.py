@@ -87,6 +87,11 @@ def parse_trace(logdir: str):
             continue
         if any(k in tname for k in ("Steps", "Modules", "Framework", "Scope")):
             continue
+        # control-flow WRAPPER events (the scan's while loop) enclose their
+        # body ops on the same timeline — counting them double-counts every
+        # child. Keep leaves only.
+        if re.match(r"^(while|conditional|call)[.\d]*$", ev.get("name", "")):
+            continue
         args = ev.get("args") or {}
         extra = " ".join(
             str(args.get(k, ""))
@@ -109,7 +114,44 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--logdir", default="/tmp/cnf_decompose_trace")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-parse an existing trace in --logdir (no TPU run); "
+                    "measured_step_ms is carried over from the saved report")
     args = ap.parse_args()
+
+    if args.parse_only:
+        with open(os.path.join(RESULTS, "step_decomposition.json")) as f:
+            prev = json.load(f)
+        rows, trace_path = parse_trace(args.logdir)
+        by_cat = defaultdict(lambda: [0.0, 0])
+        by_name = defaultdict(lambda: [0.0, 0])
+        for r in rows:
+            cat = categorize(r["name"], r["extra"])
+            by_cat[cat][0] += r["dur_us"]
+            by_cat[cat][1] += 1
+            key_name = re.sub(r"[.\d]+$", "", r["name"]) or r["name"]
+            by_name[key_name][0] += r["dur_us"]
+            by_name[key_name][1] += 1
+        n_steps = args.inner * args.iters
+        total_us = sum(v[0] for v in by_cat.values())
+        prev["decomposition"] = {
+            cat: {
+                "ms_per_step": round(v[0] / n_steps / 1e3, 3),
+                "ops_per_step": round(v[1] / n_steps, 1),
+                "share": round(v[0] / total_us, 3),
+            }
+            for cat, v in sorted(by_cat.items(), key=lambda kv: -kv[1][0])
+        }
+        prev["top_ops"] = {
+            k: {"ms_per_step": round(v[0] / n_steps / 1e3, 3),
+                "ops_per_step": round(v[1] / n_steps, 1)}
+            for k, v in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:25]
+        }
+        prev["device_total_ms_per_step"] = round(total_us / n_steps / 1e3, 2)
+        print(json.dumps(prev, indent=2))
+        with open(os.path.join(RESULTS, "step_decomposition.json"), "w") as f:
+            json.dump(prev, f, indent=2)
+        return
 
     import jax
     import jax.numpy as jnp

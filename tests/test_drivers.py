@@ -459,3 +459,31 @@ def test_conv_driver_streaming_records(tmp_path):
     )
     ev = json.loads((tmp_path / "run" / "eval.json").read_text())
     assert "sampling" in ev and "loss" in ev
+
+
+def test_toy_driver_sectors_eval_metrics(tmp_path):
+    """continuous_sectors runs must emit the per-sector conditional-fidelity
+    metrics (angular error / in-sector fraction) in eval.json."""
+    from arl_conditional_normalizing_flows_tpu.drivers import toy
+
+    out = str(tmp_path / "sectors")
+    toy.main(
+        [
+            "--dataset", "continuous_sectors",
+            "--coupling-blocks", "1",
+            "--intermediate-dims", "8",
+            "--num-layers", "1",
+            "--batch-size", "64",
+            "--batches-per-class", "2",
+            "--epochs", "2",
+            "--annealing-epochs", "0",
+            "--eval-samples", "64",
+            "--outdir", out,
+        ]
+    )
+    with open(os.path.join(out, "eval.json")) as f:
+        report = json.load(f)
+    assert len(report["per_sector"]) == 8
+    agg = report["sector_aggregate"]
+    assert 0.0 <= agg["frac_in_sector"] <= 1.0
+    assert np.isfinite(agg["mean_abs_angular_error"])

@@ -122,7 +122,13 @@ def _append(impl: str, row: dict, seed: int = 0, tag: str = None) -> None:
         f.write(json.dumps(row) + "\n")
 
 
-def run_ref(epochs: int, seed: int = SEED) -> None:
+def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
+            ckpt_every: int = 25) -> None:
+    """``resume=True`` continues from the periodic checkpoint
+    (flagship600_ref[_sN].ckpt.npz: model vars + optimizer slots + epoch).
+    A TF leg costs 5.5-6 h; without this a crash loses everything
+    (round-3 lesson). The resumed trajectory matches a continuous run up to
+    TF's CPU-threading nondeterminism (~2.5% epoch-loss spread)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -146,6 +152,26 @@ def run_ref(epochs: int, seed: int = SEED) -> None:
     for l in m.layers_list:
         if isinstance(l, cref.coupling_layer):
             var += l.model_A.trainable_variables + l.model_b.trainable_variables
+    opt.build(var)  # create slots now so a checkpoint can restore into them
+
+    ck_path = _log_path("ref", seed).replace(".jsonl", ".ckpt.npz")
+    start_ep = 0
+    if resume and os.path.exists(ck_path):
+        d = np.load(ck_path)
+        start_ep = int(d["epoch"])
+        for i, v in enumerate(var):
+            v.assign(d[f"m{i}"])
+        for i, v in enumerate(opt.variables):
+            v.assign(d[f"o{i}"])
+        print(f"resumed from epoch {start_ep} ({ck_path})", flush=True)
+
+    def save_ckpt(ep):
+        arrs = {"epoch": np.asarray(ep)}
+        arrs.update({f"m{i}": v.numpy() for i, v in enumerate(var)})
+        arrs.update({f"o{i}": v.numpy() for i, v in enumerate(opt.variables)})
+        tmp = ck_path + ".tmp.npz"  # savez keeps names already ending .npz
+        np.savez(tmp, **arrs)
+        os.replace(tmp, ck_path)
 
     @tf.function
     def rstep(xy):
@@ -156,7 +182,7 @@ def run_ref(epochs: int, seed: int = SEED) -> None:
 
     mm = _stream(epochs)
     t0 = time.time()
-    for ep in range(epochs):
+    for ep in range(start_ep, epochs):
         vals = [
             [float(x) for x in rstep(tf.constant(np.ascontiguousarray(mm[ep, i])))]
             for i in range(BATCHES_PER_EPOCH)
@@ -170,6 +196,8 @@ def run_ref(epochs: int, seed: int = SEED) -> None:
             "detJ_loss": round(float(mean[3]), 3),
             "t": round(time.time() - t0, 1),
         }, seed)
+        if (ep + 1) % ckpt_every == 0 or ep + 1 == epochs:
+            save_ckpt(ep + 1)
     print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
 
 
@@ -327,6 +355,9 @@ def merge(epochs: int) -> None:
 def main():
     argv = list(sys.argv[1:])
     seed, eps, tag = SEED, None, None
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
     for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -343,7 +374,7 @@ def main():
     if cmd == "gen":
         gen(epochs)
     elif cmd == "ref":
-        run_ref(epochs, seed)
+        run_ref(epochs, seed, resume)
     elif cmd == "ours":
         run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag)
     elif cmd == "merge":

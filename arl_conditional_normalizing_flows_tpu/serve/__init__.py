@@ -1,6 +1,7 @@
 """Serving/deployment: AOT StableHLO export of the conditional sampler."""
 
 from arl_conditional_normalizing_flows_tpu.serve.export import (
+    PipelinedSampler,
     export_multidraw_sampler,
     export_seeded_multidraw_sampler,
     export_sampler,
@@ -13,6 +14,7 @@ from arl_conditional_normalizing_flows_tpu.serve.export import (
 )
 
 __all__ = [
+    "PipelinedSampler",
     "export_multidraw_sampler",
     "export_seeded_multidraw_sampler",
     "export_sampler",

@@ -220,6 +220,52 @@ def export_multidraw_sampler(
     return jexport.export(jax.jit(multi), **kwargs)(*specs)
 
 
+class PipelinedSampler:
+    """Client-side throughput wrapper for a SEEDED multidraw artifact.
+
+    Keeps ``n_in_flight`` calls outstanding so transport (dispatch +
+    readback) overlaps device compute — measured on the remote-attached
+    v5e this lifts steady-state serving from ~19% to **56% of the
+    device-side sampling rate** (saturating at ~8 in-flight calls;
+    docs/PERF_NOTES.md serving probe). Deterministic: chunk k uses seed
+    ``start_seed + k``, so results are independent of thread scheduling
+    and identical to sequential calls.
+
+    Args:
+        exported: a (loaded or fresh) ``export_seeded_multidraw_sampler``
+            artifact — signature ``(seed: int32, y) -> (D, B, ...)``.
+        draws_per_call: the D baked into the artifact.
+        n_in_flight: outstanding calls (4-8 saturates a remote chip;
+            1 = plain sequential calls).
+    """
+
+    def __init__(self, exported, draws_per_call: int, n_in_flight: int = 4):
+        self._exported = exported
+        self._draws = draws_per_call
+        self._n = max(1, n_in_flight)
+
+    def sample(self, y, total_draws: int, start_seed: int = 0):
+        """>= ``total_draws`` conditional samples per condition row of ``y``.
+
+        Returns a numpy array (ceil(total/D)*D, B, ...) stacked in seed
+        order (trim to ``total_draws`` if an exact count is needed).
+        """
+        import concurrent.futures as cf
+
+        import numpy as np
+
+        n_calls = -(-total_draws // self._draws)
+
+        def one(k):
+            return np.asarray(
+                self._exported.call(jnp.int32(start_seed + k), y)
+            )
+
+        with cf.ThreadPoolExecutor(max_workers=self._n) as pool:
+            chunks = list(pool.map(one, range(n_calls)))
+        return np.concatenate(chunks, axis=0)
+
+
 def save_artifact(path: str, exported: jexport.Exported, metadata: Optional[dict] = None):
     """Write ``<path>`` (serialized StableHLO) + ``<path>.json`` sidecar."""
     data = exported.serialize()

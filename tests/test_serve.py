@@ -228,3 +228,29 @@ def test_seeded_multidraw_and_uint8(rng, tmp_path):
     )
     y2 = jnp.zeros((2, h, w, 1), jnp.float32)
     assert loaded.call(jnp.int32(0), y2).shape == (3, 2, h, w, 1)
+
+
+def test_pipelined_sampler_matches_sequential(rng):
+    """PipelinedSampler must produce EXACTLY the sequential per-seed chunks
+    regardless of thread scheduling (deterministic seeded artifact)."""
+    from arl_conditional_normalizing_flows_tpu.serve import (
+        PipelinedSampler,
+        export_seeded_multidraw_sampler,
+    )
+
+    model, params, cfg = _conv()
+    h, w, _ = cfg.io_shape
+    fn = make_image_serving_fn(model, params, cfg.x_d, quantize_uint8=True)
+    d = 2
+    exported = export_seeded_multidraw_sampler(fn, d, (h, w, 1), (h, w, 1))
+    y = jnp.full((3, h, w, 1), 0.5, jnp.float32)
+
+    sampler = PipelinedSampler(exported, draws_per_call=d, n_in_flight=3)
+    out = sampler.sample(y, total_draws=7, start_seed=5)  # 4 calls, 8 draws
+    assert out.shape == (8, 3, h, w, 1) and out.dtype == np.uint8
+
+    seq = np.concatenate(
+        [np.asarray(exported.call(jnp.int32(5 + k), y)) for k in range(4)],
+        axis=0,
+    )
+    np.testing.assert_array_equal(out, seq)

@@ -282,6 +282,10 @@ def main(argv=None):
         # angular error vs the requested center and the in-sector fraction.
         # This is the quantitative form of the reference's "deeper network"
         # claim for this dataset (README.md:71).
+        from arl_conditional_normalizing_flows_tpu.evaluation import (
+            sector_fidelity,
+        )
+
         centers = np.linspace(0, 2 * np.pi, 8, endpoint=False)
         per_sector = {}
         for ci, c in enumerate(centers):
@@ -289,28 +293,15 @@ def main(argv=None):
                 model, params_np, jax.random.PRNGKey(300 + ci),
                 float(c), args.eval_samples, x_d=cfg.x_d,
             ))
-            ang = np.arctan2(s[:, 1], s[:, 0]) % (2 * np.pi)
-            err = np.abs(((ang - c + np.pi) % (2 * np.pi)) - np.pi)
-            radius = np.hypot(s[:, 0], s[:, 1])
-            per_sector[f"{c:.3f}"] = {
-                "mean_abs_angular_error": float(err.mean()),
-                "frac_in_sector": float((err <= args.sector_width / 2).mean()),
-                "frac_in_unit_disk": float((radius <= 1.05).mean()),
-                "y_identity_mean": float(s[:, cfg.x_d:].mean()),
-            }
-        agg = {
-            "mean_abs_angular_error": float(np.mean(
-                [v["mean_abs_angular_error"] for v in per_sector.values()]
-            )),
-            "frac_in_sector": float(np.mean(
-                [v["frac_in_sector"] for v in per_sector.values()]
-            )),
-            "frac_in_unit_disk": float(np.mean(
-                [v["frac_in_unit_disk"] for v in per_sector.values()]
-            )),
-        }
+            per_sector[f"{c:.3f}"] = sector_fidelity(
+                s, float(c), args.sector_width, x_d=cfg.x_d
+            )
         report["per_sector"] = per_sector
-        report["sector_aggregate"] = agg
+        report["sector_aggregate"] = {
+            k: float(np.mean([v[k] for v in per_sector.values()]))
+            for k in ("mean_abs_angular_error", "frac_in_sector",
+                      "frac_in_unit_disk")
+        }
 
     if args.plot:
         from arl_conditional_normalizing_flows_tpu.evaluation import plots

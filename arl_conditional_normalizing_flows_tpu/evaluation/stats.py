@@ -76,3 +76,25 @@ def sr_residual_block_sums(x_residual) -> Dict[str, float]:
         "mean_abs_block_sum": float(np.abs(blocks).mean()),
         "max_abs_block_sum": float(np.abs(blocks).max()),
     }
+
+
+def sector_fidelity(samples_xy, center: float, sector_width: float,
+                    x_d: int = 2) -> Dict[str, float]:
+    """Conditional-fidelity metrics for one sector of the continuous-sectors
+    task (TOYcINN_make_datasets.py:1114-1300): circular angular error of the
+    sampled points vs the requested center, the fraction landing inside the
+    requested sector, and the fraction inside the (slightly padded) unit
+    disk. Shared by the toy driver's inline eval and tools/sector_eval.py so
+    the metric definition cannot drift between them."""
+    s = np.asarray(samples_xy)
+    ang = np.arctan2(s[:, 1], s[:, 0]) % (2 * np.pi)
+    err = np.abs(((ang - center + np.pi) % (2 * np.pi)) - np.pi)
+    radius = np.hypot(s[:, 0], s[:, 1])
+    out = {
+        "mean_abs_angular_error": float(err.mean()),
+        "frac_in_sector": float((err <= sector_width / 2).mean()),
+        "frac_in_unit_disk": float((radius <= 1.05).mean()),
+    }
+    if s.shape[1] > x_d:
+        out["y_identity_mean"] = float(s[:, x_d:].mean())
+    return out

@@ -254,6 +254,8 @@ class PipelinedSampler:
 
         import numpy as np
 
+        if total_draws < 1:
+            raise ValueError(f"total_draws must be >= 1, got {total_draws}")
         n_calls = -(-total_draws // self._draws)
 
         def one(k):

@@ -37,13 +37,30 @@ _LEGACY_LOWERING_KEYS = {
 }
 
 
-def _normalize_meta(d: dict) -> dict:
+def _normalize_meta(d: dict, config=None) -> dict:
     if any(k in d for k in _LEGACY_LOWERING_KEYS):
         lowering = None
         for old_key, value in _LEGACY_LOWERING_KEYS.items():
             if d.pop(old_key, False):
                 lowering = value
         d.setdefault("experimental_lowering", lowering)
+    # fields ADDED to the config dataclass after a checkpoint was written are
+    # absent from its stored dict; fill them with the dataclass defaults so
+    # old checkpoints of the identical architecture keep restoring (a stored
+    # value that DIFFERS from the current config still mismatches)
+    if config is not None:
+        for f in dataclasses.fields(config):
+            if f.name in d:
+                continue
+            if f.default is not dataclasses.MISSING:
+                default = f.default
+            elif f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+                default = f.default_factory()  # type: ignore[misc]
+            else:
+                continue
+            # json round-trip so injected defaults compare equal to the
+            # json-loaded current meta (tuples become lists, etc.)
+            d[f.name] = json.loads(json.dumps(default))
     return d
 
 
@@ -80,10 +97,11 @@ class CheckpointManager:
             with open(self._meta_path) as f:
                 existing = f.read()
             # compare as normalized dicts, not raw strings: legacy key
-            # spellings of the same architecture must not fail restore
-            if _normalize_meta(json.loads(existing)) != _normalize_meta(
-                json.loads(meta)
-            ):
+            # spellings / missing later-added fields of the same
+            # architecture must not fail restore
+            if _normalize_meta(
+                json.loads(existing), self.config
+            ) != _normalize_meta(json.loads(meta)):
                 raise ValueError(
                     "checkpoint directory was written with a different "
                     f"architecture:\n  stored: {existing}\n  current: {meta}\n"

@@ -266,7 +266,7 @@ def main():
     overridden = [
         k for k in ("BENCH_ARCH", "BENCH_BATCH", "BENCH_DTYPE",
                     "BENCH_FUSED", "BENCH_FLOW_DTYPE", "BENCH_LOWERING",
-                    "BENCH_INNER", "BENCH_UNROLL")
+                    "BENCH_INNER", "BENCH_UNROLL", "BENCH_LATE_CAST")
         if os.environ.get(k)
     ]
     baseline = stored.get(platform)

@@ -319,7 +319,10 @@ def merge(epochs: int) -> None:
 
     def band(seed_map):
         legs = {f"seed{s}": tail_stats(r) for s, r in sorted(seed_map.items())}
-        full = [t for t in legs.values() if t["epochs"] >= n]
+        # a leg is "full" only at the REQUESTED budget — using the seed-0
+        # minimum would let partial legs contaminate the band while a
+        # seed-0 leg is still in progress
+        full = [t for t in legs.values() if t["epochs"] >= epochs]
         summary = {}
         if full:
             for key in ("last20_mean_loss", "best_loss"):
@@ -370,6 +373,11 @@ def main():
             else:
                 tag = val
     cmd = argv[0]
+    if cmd != "ours" and (eps is not None or tag is not None):
+        raise SystemExit(
+            "--eps/--tag are 'ours'-only flags; silently dropping them for "
+            f"'{cmd}' would contaminate the default logs"
+        )
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
         gen(epochs)

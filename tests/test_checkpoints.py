@@ -96,7 +96,11 @@ def test_legacy_lowering_keys_restore(tmp_path):
     d = tmp_path / "ck"
     d.mkdir()
     legacy = dataclasses.asdict(cfg)
+    # a genuinely OLD arch.json: the pre-rename lowering booleans, and NO
+    # fields added to the dataclass after it was written (a round-2 review
+    # caught that fabricating from the CURRENT asdict masks this case)
     del legacy["experimental_lowering"]
+    del legacy["late_head_cast"]
     legacy.update(
         use_pallas_coupling=False, fuse_dilated_conv=False,
         dense_masked_groups=False, fused_pallas_subnet=False,

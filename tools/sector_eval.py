@@ -49,6 +49,10 @@ def score(run_dir: str) -> dict:
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
     params = load_params_npz(os.path.join(run_dir, "weights.npz"), template)
 
+    from arl_conditional_normalizing_flows_tpu.evaluation import (
+        sector_fidelity,
+    )
+
     width = args["sector_width"]
     centers = np.linspace(0, 2 * np.pi, 8, endpoint=False)
     per_sector = {}
@@ -57,14 +61,8 @@ def score(run_dir: str) -> dict:
             model, params, jax.random.PRNGKey(300 + ci),
             float(c), args["eval_samples"], x_d=cfg.x_d,
         ))
-        ang = np.arctan2(s[:, 1], s[:, 0]) % (2 * np.pi)
-        err = np.abs(((ang - c + np.pi) % (2 * np.pi)) - np.pi)
-        radius = np.hypot(s[:, 0], s[:, 1])
-        per_sector[f"{c:.3f}"] = {
-            "mean_abs_angular_error": float(err.mean()),
-            "frac_in_sector": float((err <= width / 2).mean()),
-            "frac_in_unit_disk": float((radius <= 1.05).mean()),
-        }
+        per_sector[f"{c:.3f}"] = sector_fidelity(s, float(c), width,
+                                                 x_d=cfg.x_d)
     hist = [json.loads(l) for l in open(os.path.join(run_dir, "history.jsonl"))]
     return {
         "run": os.path.basename(os.path.normpath(run_dir)),

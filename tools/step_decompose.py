@@ -122,6 +122,10 @@ def main():
     if args.parse_only:
         with open(os.path.join(RESULTS, "step_decomposition.json")) as f:
             prev = json.load(f)
+        # re-bucket with the step counts the TRACE was recorded with, not
+        # whatever --inner/--iters defaults this invocation has
+        args.inner = int(prev["scan_inner"])
+        args.iters = int(prev.get("iters", args.iters))
         rows, trace_path = parse_trace(args.logdir)
         by_cat = defaultdict(lambda: [0.0, 0])
         by_name = defaultdict(lambda: [0.0, 0])
@@ -242,6 +246,7 @@ def main():
         "arch": "flagship 28x28 (conv_cINN.py:56-65)",
         "batch": args.batch,
         "scan_inner": args.inner,
+        "iters": args.iters,
         "measured_step_ms_blocking": round(step_ms, 2),
         "device_total_ms_per_step": round(total_us / n_steps / 1e3, 2),
         "decomposition": decomposition,

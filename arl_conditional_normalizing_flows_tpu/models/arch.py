@@ -44,6 +44,14 @@ class ConvFlowConfig:
     # reads the last group's channels — conv_cINN_base_functions.py:399-404).
     # Default False = the documented/intended grouped convolution.
     ref_compat_group_slice: bool = False
+    # Match the reference's per-group-INDEPENDENT orthogonal kernel draws
+    # for grouped convs (it builds cardinality separate Conv2D layers,
+    # conv_cINN_base_functions.py:399-411, each orthogonalized on its own).
+    # Our single feature_group_count kernel is otherwise orthogonalized as
+    # one joint matrix — identical per-group marginals, different joint
+    # distribution (models.subnets.per_group_orthogonal). Parity knob;
+    # kernel SHAPES are unchanged so checkpoints transfer either way.
+    ref_compat_group_init: bool = False
     # Alternative lowerings of the SAME math, kept reproducible behind one
     # opt-in knob. Every one of these measured SLOWER than the default
     # XLA path on v5e (docs/PERF_NOTES.md "Experiments that did NOT pay") —

@@ -61,6 +61,7 @@ class ConvCouplingLayer(nn.Module):
     use_pallas: bool = False
     fused_pallas_subnet: bool = False
     ref_compat_group_slice: bool = False
+    ref_compat_group_init: bool = False
     fuse_dilated_conv: bool = False
     dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -87,6 +88,7 @@ class ConvCouplingLayer(nn.Module):
             dilations=self.dilations,
             layer_norm=self.layer_norm,
             ref_compat_group_slice=self.ref_compat_group_slice,
+            ref_compat_group_init=self.ref_compat_group_init,
             fuse_dilated_conv=self.fuse_dilated_conv,
             dense_masked_groups=self.dense_masked_groups,
             dtype=self.dtype,
@@ -208,6 +210,7 @@ class ConvCFlow(nn.Module):
                         use_pallas=cfg.use_pallas_coupling,
                         fused_pallas_subnet=cfg.fused_pallas_subnet,
                         ref_compat_group_slice=cfg.ref_compat_group_slice,
+                        ref_compat_group_init=cfg.ref_compat_group_init,
                         fuse_dilated_conv=cfg.fuse_dilated_conv,
                         dense_masked_groups=cfg.dense_masked_groups,
                         dtype=compute_dtype,

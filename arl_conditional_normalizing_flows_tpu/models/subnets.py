@@ -37,6 +37,35 @@ def orthogonal_init(scale: float = 0.1):
     return nn.initializers.orthogonal(scale=scale)
 
 
+def per_group_orthogonal(scale: float, groups: int):
+    """Per-GROUP-independent Orthogonal(gain) init for a grouped-conv kernel
+    of shape ``(k, k, d, groups*gd)``.
+
+    The reference builds a grouped convolution as ``cardinality`` separate
+    Conv2D layers (conv_cINN_base_functions.py:399-411), so each group's
+    ``(k, k, d, gd)`` kernel is orthogonalized INDEPENDENTLY. Our single
+    ``feature_group_count`` kernel is, by default, orthogonalized as ONE
+    ``(k*k*d, groups*gd)`` matrix — identical per-group marginal
+    distribution (any column block of a Haar matrix is Haar), but the
+    groups are mutually orthogonal rather than independent. This init
+    reproduces the reference's joint distribution exactly: one independent
+    orthogonal sample per output-column block.
+    """
+    import jax
+
+    base = nn.initializers.orthogonal(scale=scale)
+
+    def init(key, shape, dtype=jnp.float32):
+        *lead, cout = shape
+        assert cout % groups == 0, (shape, groups)
+        gd = cout // groups
+        keys = jax.random.split(key, groups)
+        blocks = [base(k, tuple(lead) + (gd,), dtype) for k in keys]
+        return jnp.concatenate(blocks, axis=-1)
+
+    return init
+
+
 class FlatLayerNorm(nn.Module):
     """LayerNorm over all h*w*d elements jointly (the reference's
     flatten->LayerNorm->reshape trick, conv_cINN_base_functions.py:345-361).
@@ -230,6 +259,10 @@ class DilatedResidualBlock(nn.Module):
     layer_norm: bool
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
+    # match the reference's per-group-INDEPENDENT orthogonal draws for the
+    # grouped-conv kernels (see per_group_orthogonal); default keeps the
+    # jointly-orthogonal single-matrix init
+    ref_compat_group_init: bool = False
     fuse_dilated_conv: bool = False
     dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -268,6 +301,11 @@ class DilatedResidualBlock(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bias.astype(self.dtype)
         else:
+            ginit = (
+                per_group_orthogonal(self.init_scale, self.cardinality)
+                if self.ref_compat_group_init and self.cardinality > 1
+                else kinit
+            )
             branches = [
                 _grouped_conv(
                     y,
@@ -275,7 +313,7 @@ class DilatedResidualBlock(nn.Module):
                     self.ksize,
                     d,
                     self.cardinality,
-                    kinit,
+                    ginit,
                     self.dtype,
                     ref_compat=self.ref_compat_group_slice,
                     dense_masked=self.dense_masked_groups,
@@ -312,6 +350,7 @@ class ConvCouplingNet(nn.Module):
     n_heads: int = 1  # fused: 2 -> returns (A, b)
     init_scale: float = 0.1
     ref_compat_group_slice: bool = False
+    ref_compat_group_init: bool = False
     fuse_dilated_conv: bool = False
     dense_masked_groups: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -339,6 +378,7 @@ class ConvCouplingNet(nn.Module):
                 layer_norm=self.layer_norm,
                 init_scale=self.init_scale,
                 ref_compat_group_slice=self.ref_compat_group_slice,
+                ref_compat_group_init=self.ref_compat_group_init,
                 fuse_dilated_conv=self.fuse_dilated_conv,
                 dense_masked_groups=self.dense_masked_groups,
                 dtype=self.dtype,

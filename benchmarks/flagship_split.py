@@ -203,11 +203,18 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
 
 def run_ours(
     epochs: int, platform: str = "cpu", seed: int = SEED,
-    eps: float = None, tag: str = None,
+    eps: float = None, tag: str = None, group_init: bool = False,
+    resume: bool = False, ckpt_every: int = 25,
 ) -> None:
     """``eps`` overrides optax.adam's epsilon (default 1e-8; TF/Keras uses
     1e-7) — a parity-gap hypothesis knob. ``tag`` names the log file
-    (flagship600_ours_{tag}.jsonl) for such hypothesis legs."""
+    (flagship600_ours_{tag}.jsonl) for such hypothesis legs. ``group_init``
+    sets ref_compat_group_init (per-group-independent orthogonal draws for
+    grouped convs — the reference's init joint distribution; parity-gap
+    hypothesis knob). ``resume=True`` continues from the periodic
+    checkpoint (same rationale as run_ref: a multi-hour CPU leg must not be
+    a total loss on crash; the JAX leg is deterministic, so the resumed
+    trajectory is bit-identical to a continuous run)."""
     import jax
 
     if platform == "cpu":
@@ -231,7 +238,7 @@ def run_ours(
     cfg = ConvFlowConfig(
         io_shape=XY_SHAPE, x_d=1, squeeze_factor_blocks=sf, res_blocks=nrb,
         num_kernels=nk, cardinality=card, ksize=3, layer_norm=True,
-        ref_compat_group_slice=True,
+        ref_compat_group_slice=True, ref_compat_group_init=group_init,
     )
     model = ConvCFlow(cfg)
     tx = None
@@ -242,12 +249,28 @@ def run_ours(
     state = create_train_state(
         model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
     )
+    from flax import serialization
+
+    ck_path = _log_path("ours", seed, tag).replace(".jsonl", ".ckpt.npz")
+    start_ep = 0
+    if resume and os.path.exists(ck_path):
+        d = np.load(ck_path)
+        start_ep = int(d["epoch"])
+        state = serialization.from_bytes(state, d["state"].tobytes())
+        print(f"resumed from epoch {start_ep} ({ck_path})", flush=True)
+
+    def save_ckpt(ep, st):
+        raw = np.frombuffer(serialization.to_bytes(st), dtype=np.uint8)
+        tmp = ck_path + ".tmp.npz"
+        np.savez(tmp, epoch=np.asarray(ep), state=raw)
+        os.replace(tmp, ck_path)
+
     step, _ = make_step_fns(model, noise_mode="none")
     mm = _stream(epochs)
     kdummy = jax.random.PRNGKey(0)
     one = jnp.float32(1.0)
     t0 = time.time()
-    for ep in range(epochs):
+    for ep in range(start_ep, epochs):
         vals = []
         for i in range(BATCHES_PER_EPOCH):
             state, out = step(state, jnp.asarray(mm[ep, i]), kdummy, one)
@@ -264,6 +287,8 @@ def run_ours(
             "platform": platform,
             "t": round(time.time() - t0, 1),
         }, seed, tag)
+        if (ep + 1) % ckpt_every == 0 or ep + 1 == epochs:
+            save_ckpt(ep + 1, state)
     print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
           flush=True)
 
@@ -361,6 +386,9 @@ def main():
     resume = "--resume" in argv
     if resume:
         argv.remove("--resume")
+    ginit = "--ginit" in argv
+    if ginit:
+        argv.remove("--ginit")
     for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -373,10 +401,10 @@ def main():
             else:
                 tag = val
     cmd = argv[0]
-    if cmd != "ours" and (eps is not None or tag is not None):
+    if cmd != "ours" and (eps is not None or tag is not None or ginit):
         raise SystemExit(
-            "--eps/--tag are 'ours'-only flags; silently dropping them for "
-            f"'{cmd}' would contaminate the default logs"
+            "--eps/--tag/--ginit are 'ours'-only flags; silently dropping "
+            f"them for '{cmd}' would contaminate the default logs"
         )
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
@@ -384,7 +412,8 @@ def main():
     elif cmd == "ref":
         run_ref(epochs, seed, resume)
     elif cmd == "ours":
-        run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag)
+        run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag,
+                 ginit, resume)
     elif cmd == "merge":
         merge(epochs)
     else:

@@ -514,3 +514,53 @@ def test_config_fuzz_roundtrip_fused_pallas(rng):
         back = model.apply(params, zy, method="inverse")
         np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)
     assert tried >= 3, f"fuzz only exercised {tried} configs"
+
+
+def test_per_group_orthogonal_init_distribution():
+    """ref_compat_group_init reproduces the reference's per-group-INDEPENDENT
+    orthogonal draws (conv_cINN_base_functions.py:399-411 builds cardinality
+    separate Conv2D layers, each orthogonalized on its own): every output
+    column block is orthonormal x gain on its own, blocks are NOT mutually
+    orthogonal (independent draws), and the default joint init differs
+    exactly there."""
+    from arl_conditional_normalizing_flows_tpu.models.subnets import (
+        orthogonal_init,
+        per_group_orthogonal,
+    )
+
+    key = jax.random.PRNGKey(3)
+    groups, k, d = 8, 3, 8
+    W = np.asarray(per_group_orthogonal(0.1, groups)(key, (k, k, d, groups * d)))
+    M = W.reshape(k * k * d, groups * d)
+    for g in range(groups):
+        B = M[:, g * d : (g + 1) * d] / 0.1
+        np.testing.assert_allclose(B.T @ B, np.eye(d), atol=1e-5)
+    cross = abs(M[:, :d].T @ M[:, d : 2 * d]).max()
+    assert cross > 1e-4, "independent group draws should not be orthogonal"
+    Mj = np.asarray(orthogonal_init(0.1)(key, (k, k, d, groups * d))).reshape(
+        k * k * d, groups * d
+    )
+    assert abs(Mj[:, :d].T @ Mj[:, d : 2 * d]).max() < 1e-6
+
+
+def test_ref_compat_group_init_same_shapes_and_bijective(rng):
+    """The init knob changes ONLY initial values: parameter tree shapes are
+    identical (checkpoints transfer) and the flow still round-trips."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CONV_CFG, cardinality=(4, 4), num_kernels=(8, 8),
+        ref_compat_group_init=True,
+    )
+    model, params = init_conv(cfg)
+    _, params0 = init_conv(
+        dataclasses.replace(cfg, ref_compat_group_init=False)
+    )
+    shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    shapes0 = jax.tree_util.tree_map(lambda a: a.shape, params0)
+    assert shapes == shapes0
+    xy = jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32))
+    zy, logdet = model.apply(params, xy)
+    assert np.isfinite(np.asarray(logdet)).all()
+    back = model.apply(params, zy, method="inverse")
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=2e-4)

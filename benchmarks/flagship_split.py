@@ -251,6 +251,12 @@ def run_ours(
     )
     from flax import serialization
 
+    if platform == "tpu":
+        # Periodic state readback through the remote axon tunnel costs
+        # minutes per save (hundreds of leaves x ~0.1 s dispatch + ~190 MB
+        # at ~32 MB/s) — worse than re-running the ~20-min leg. Checkpoints
+        # are for the multi-hour CPU legs.
+        ckpt_every = 0
     ck_path = _log_path("ours", seed, tag).replace(".jsonl", ".ckpt.npz")
     start_ep = 0
     if resume and os.path.exists(ck_path):
@@ -287,7 +293,7 @@ def run_ours(
             "platform": platform,
             "t": round(time.time() - t0, 1),
         }, seed, tag)
-        if (ep + 1) % ckpt_every == 0 or ep + 1 == epochs:
+        if ckpt_every and ((ep + 1) % ckpt_every == 0 or ep + 1 == epochs):
             save_ckpt(ep + 1, state)
     print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
           flush=True)
@@ -358,6 +364,22 @@ def merge(epochs: int) -> None:
                 }
         return {"legs": legs, "n_full_legs": len(full), "band": summary}
 
+    # hypothesis legs: every --tag log (eps sweep, cpu-numerics, ginit, ...)
+    # gets its tail stats recorded so the merged json is the one complete
+    # story (tags are excluded from the seed bands on purpose — they change
+    # a variable other than the seed)
+    hypothesis = {}
+    for p in sorted(_glob.glob(
+            os.path.join(RESULTS_DIR, "flagship600_ours_*.jsonl"))):
+        tag = os.path.basename(p)[len("flagship600_ours_"):-len(".jsonl")]
+        if tag.startswith("s") and tag[1:].isdigit():
+            continue  # seed leg, already in the band
+        rows = read_log(p)
+        if rows:
+            hypothesis[tag] = dict(
+                tail_stats(rows), platform=rows[0].get("platform", "cpu")
+            )
+
     out = {
         "task": "class-conditional 28x28 synthetic, identical batches, "
                 "FLAGSHIP arch (conv_cINN.py:56-65), full 600-epoch budget",
@@ -368,6 +390,7 @@ def merge(epochs: int) -> None:
         "ours": side(ours),
         "ours_platform": ours[0].get("platform", "cpu"),
         "seed_bands": {"reference": band(ref_seeds), "ours": band(ours_seeds)},
+        "hypothesis_legs": hypothesis,
     }
     print(json.dumps(out, indent=2))
     path = os.path.join(RESULTS_DIR, "conv_train_parity.json")

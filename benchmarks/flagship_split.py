@@ -246,9 +246,22 @@ def run_ours(
         import optax
 
         tx = optax.adam(LR, eps=eps)
-    state = create_train_state(
-        model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
-    )
+    if platform == "tpu":
+        # Initialize on the HOST CPU and ship the state to the device once:
+        # flagship init is hundreds of orthogonal (QR) draws, and the remote
+        # axon tunnel dispatches each as its own ~0.1 s round trip (observed:
+        # >15 min init on-device vs seconds on host). Same values — init is
+        # seed-deterministic and platform-independent at f64/f32 QR.
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            state = create_train_state(
+                model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
+            )
+        state = jax.device_put(state, jax.devices()[0])
+    else:
+        state = create_train_state(
+            model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
+        )
     from flax import serialization
 
     if platform == "tpu":

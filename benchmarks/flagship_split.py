@@ -201,10 +201,52 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
     print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
 
 
+def _ref_init_params(params, seed):
+    """Reference EPOCH-0 weights — the exact ``tf.random.set_seed(seed)``
+    draws `run_ref` trains from — transplanted into our param tree via the
+    parity_conv conv mapping (LayerNorm/bias inits are deterministic ones/
+    zeros in both frameworks, so convs + tanh scales fully determine the
+    initial point). An `ours` leg trained from this point isolates
+    init-SAMPLE luck from training dynamics at the flagship scale: if it
+    reaches the reference band, the tail offset is the init draw; if it
+    stays in the ours band, the offset is in the update dynamics."""
+    import tensorflow as tf
+
+    from reference_shim import import_conv_reference
+    from parity_conv import _map_subnet
+
+    cref = import_conv_reference()
+    sf, nrb, nk, card = ARCH
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = cref.cFlow(
+        io_shape=list(XY_SHAPE), x_d=1, squeeze_factor_block_list=list(sf),
+        ResNeXt_block_list=list(nrb), num_kernels_list=list(nk),
+        cardinality_list=list(card), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=True,
+    )
+    p = dict(params["params"])
+    refc = [l for l in m.layers_list if isinstance(l, cref.coupling_layer)]
+    n_ours = sum(1 for k in p if k.startswith("couplings_"))
+    assert len(refc) == n_ours, (len(refc), n_ours)
+    for j, rc in enumerate(refc):
+        lay = dict(p[f"couplings_{j}"])
+        dil = tuple(int(d) for d in rc.which_dilations)
+        lay["net_a"] = _map_subnet(
+            rc.model_A, lay["net_a"], rc.cardinality, dil, has_scale=True
+        )
+        lay["net_b"] = _map_subnet(
+            rc.model_b, lay["net_b"], rc.cardinality, dil, has_scale=False
+        )
+        p[f"couplings_{j}"] = lay
+    return {"params": p}
+
+
 def run_ours(
     epochs: int, platform: str = "cpu", seed: int = SEED,
     eps: float = None, tag: str = None, group_init: bool = False,
-    resume: bool = False, ckpt_every: int = 25,
+    resume: bool = False, ckpt_every: int = 25, ref_init: bool = False,
 ) -> None:
     """``eps`` overrides optax.adam's epsilon (default 1e-8; TF/Keras uses
     1e-7) — a parity-gap hypothesis knob. ``tag`` names the log file
@@ -246,6 +288,14 @@ def run_ours(
         import optax
 
         tx = optax.adam(LR, eps=eps)
+    def _build_state():
+        st = create_train_state(
+            model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
+        )
+        if ref_init:
+            st = st.replace(params=_ref_init_params(st.params, seed))
+        return st
+
     if platform == "tpu":
         # Initialize on the HOST CPU and ship the state to the device once:
         # flagship init is hundreds of orthogonal (QR) draws, and the remote
@@ -254,14 +304,10 @@ def run_ours(
         # seed-deterministic and platform-independent at f64/f32 QR.
         cpu0 = jax.devices("cpu")[0]
         with jax.default_device(cpu0):
-            state = create_train_state(
-                model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
-            )
+            state = _build_state()
         state = jax.device_put(state, jax.devices()[0])
     else:
-        state = create_train_state(
-            model, jnp.zeros((1,) + XY_SHAPE), LR, seed=seed, tx=tx
-        )
+        state = _build_state()
     from flax import serialization
 
     if platform == "tpu":
@@ -425,6 +471,9 @@ def main():
     ginit = "--ginit" in argv
     if ginit:
         argv.remove("--ginit")
+    refinit = "--refinit" in argv
+    if refinit:
+        argv.remove("--refinit")
     for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -437,10 +486,11 @@ def main():
             else:
                 tag = val
     cmd = argv[0]
-    if cmd != "ours" and (eps is not None or tag is not None or ginit):
+    if cmd != "ours" and (eps is not None or tag is not None or ginit
+                          or refinit):
         raise SystemExit(
-            "--eps/--tag/--ginit are 'ours'-only flags; silently dropping "
-            f"them for '{cmd}' would contaminate the default logs"
+            "--eps/--tag/--ginit/--refinit are 'ours'-only flags; silently "
+            f"dropping them for '{cmd}' would contaminate the default logs"
         )
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
@@ -449,7 +499,7 @@ def main():
         run_ref(epochs, seed, resume)
     elif cmd == "ours":
         run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag,
-                 ginit, resume)
+                 ginit, resume, ref_init=refinit)
     elif cmd == "merge":
         merge(epochs)
     else:

@@ -13,9 +13,18 @@ the two implementations can consume it from separate processes.
 
 Usage:
   python benchmarks/flagship_split.py gen  [epochs]          # build stream
-  python benchmarks/flagship_split.py ref  [epochs] [--seed N]
+  python benchmarks/flagship_split.py ref  [epochs] [--seed N] [--resume]
   python benchmarks/flagship_split.py ours [epochs] [cpu|tpu] [--seed N]
+         [--tag T] [--resume] [--eps E] [--ginit] [--refinit]
   python benchmarks/flagship_split.py merge [epochs]         # -> results json
+
+Hypothesis flags (ours-only, log under --tag): ``--eps`` overrides Adam
+epsilon; ``--ginit`` uses per-group-independent orthogonal grouped-conv
+init (the reference's init joint distribution); ``--refinit`` transplants
+the reference's exact epoch-0 weights (same seed draw run_ref trains from).
+Both training legs checkpoint periodically and honor ``--resume``
+(TPU ours legs skip checkpointing: state readback through the remote
+tunnel costs more than re-running the leg).
 
 Each training leg appends one JSON line per epoch to
 benchmarks/results/flagship600_{ref|ours}.jsonl (resume-safe reporting: a

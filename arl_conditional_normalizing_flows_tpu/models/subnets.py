@@ -286,6 +286,11 @@ class DilatedResidualBlock(nn.Module):
                 "fuse_dilated_conv implements the documented grouped-conv "
                 "semantics only"
             )
+            assert not self.ref_compat_group_init, (
+                "ref_compat_group_init (per-group orthogonal draws) is not "
+                "implemented for the fused masked kernel; drop one of the "
+                "two knobs (ADVICE r3)"
+            )
             import jax.lax as lax
 
             mask, K = _dilated_branch_mask(

@@ -131,6 +131,20 @@ def _append(impl: str, row: dict, seed: int = 0, tag: str = None) -> None:
         f.write(json.dumps(row) + "\n")
 
 
+def _logged_t(log_path: str, epoch: int) -> float:
+    """Cumulative wall-clock recorded in the leg's log at ``epoch`` —
+    fallback for resuming pre-ADVICE-fix checkpoints without 'elapsed'."""
+    if not os.path.exists(log_path):
+        return 0.0
+    t = 0.0
+    with open(log_path) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["epoch"] <= epoch:
+                t = max(t, float(r.get("t", 0.0)))
+    return t
+
+
 def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
             ckpt_every: int = 25) -> None:
     """``resume=True`` continues from the periodic checkpoint
@@ -164,18 +178,25 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
     opt.build(var)  # create slots now so a checkpoint can restore into them
 
     ck_path = _log_path("ref", seed).replace(".jsonl", ".ckpt.npz")
-    start_ep = 0
+    start_ep, elapsed0 = 0, 0.0
     if resume and os.path.exists(ck_path):
         d = np.load(ck_path)
         start_ep = int(d["epoch"])
+        # cumulative wall-clock across restarts (ADVICE r3: a reset t0 made
+        # resumed legs under-report leg time); older checkpoints lack the
+        # field — recover it from the log row at the resume epoch
+        elapsed0 = float(d["elapsed"]) if "elapsed" in d else _logged_t(
+            _log_path("ref", seed), start_ep)
         for i, v in enumerate(var):
             v.assign(d[f"m{i}"])
         for i, v in enumerate(opt.variables):
             v.assign(d[f"o{i}"])
-        print(f"resumed from epoch {start_ep} ({ck_path})", flush=True)
+        print(f"resumed from epoch {start_ep} ({ck_path}, "
+              f"{elapsed0:.0f}s elapsed)", flush=True)
 
     def save_ckpt(ep):
-        arrs = {"epoch": np.asarray(ep)}
+        arrs = {"epoch": np.asarray(ep),
+                "elapsed": np.asarray(time.time() - t0)}
         arrs.update({f"m{i}": v.numpy() for i, v in enumerate(var)})
         arrs.update({f"o{i}": v.numpy() for i, v in enumerate(opt.variables)})
         tmp = ck_path + ".tmp.npz"  # savez keeps names already ending .npz
@@ -190,7 +211,7 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
         return loss, lz, ly, ldj
 
     mm = _stream(epochs)
-    t0 = time.time()
+    t0 = time.time() - elapsed0
     for ep in range(start_ep, epochs):
         vals = [
             [float(x) for x in rstep(tf.constant(np.ascontiguousarray(mm[ep, i])))]
@@ -326,24 +347,28 @@ def run_ours(
         # are for the multi-hour CPU legs.
         ckpt_every = 0
     ck_path = _log_path("ours", seed, tag).replace(".jsonl", ".ckpt.npz")
-    start_ep = 0
+    start_ep, elapsed0 = 0, 0.0
     if resume and os.path.exists(ck_path):
         d = np.load(ck_path)
         start_ep = int(d["epoch"])
+        elapsed0 = float(d["elapsed"]) if "elapsed" in d else _logged_t(
+            _log_path("ours", seed, tag), start_ep)
         state = serialization.from_bytes(state, d["state"].tobytes())
-        print(f"resumed from epoch {start_ep} ({ck_path})", flush=True)
+        print(f"resumed from epoch {start_ep} ({ck_path}, "
+              f"{elapsed0:.0f}s elapsed)", flush=True)
 
     def save_ckpt(ep, st):
         raw = np.frombuffer(serialization.to_bytes(st), dtype=np.uint8)
         tmp = ck_path + ".tmp.npz"
-        np.savez(tmp, epoch=np.asarray(ep), state=raw)
+        np.savez(tmp, epoch=np.asarray(ep),
+                 elapsed=np.asarray(time.time() - t0), state=raw)
         os.replace(tmp, ck_path)
 
     step, _ = make_step_fns(model, noise_mode="none")
     mm = _stream(epochs)
     kdummy = jax.random.PRNGKey(0)
     one = jnp.float32(1.0)
-    t0 = time.time()
+    t0 = time.time() - elapsed0
     for ep in range(start_ep, epochs):
         vals = []
         for i in range(BATCHES_PER_EPOCH):
@@ -501,6 +526,14 @@ def main():
             "--eps/--tag/--ginit/--refinit are 'ours'-only flags; silently "
             f"dropping them for '{cmd}' would contaminate the default logs"
         )
+    if tag is None and (eps is not None or ginit or refinit):
+        # A hypothesis leg without --tag would resolve to the DEFAULT seed
+        # log/checkpoint and contaminate the seed band (ADVICE r3 medium).
+        # Auto-derive a tag from the flags so the leg always gets its own
+        # flagship600_ours_{tag}.jsonl.
+        base = "refinit" if refinit else ("ginit" if ginit else f"eps{eps:g}")
+        tag = base if seed == SEED else f"{base}_s{seed}"
+        print(f"hypothesis leg: auto-derived --tag {tag}", flush=True)
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
         gen(epochs)

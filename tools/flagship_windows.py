@@ -44,8 +44,10 @@ def collect():
 
 
 def window_mean(rows, lo, hi):
+    """(mean, n_epochs_present) over [lo, hi]; a partially-reached window
+    reports its true count so it can be marked (ADVICE r3)."""
     v = [rows[e]["loss"] for e in range(lo, hi + 1) if e in rows]
-    return float(np.mean(v)) if v else None
+    return (float(np.mean(v)), len(v)) if v else (None, 0)
 
 
 def main():
@@ -65,21 +67,34 @@ def main():
     for n in sorted(others):
         hdr += f" {n:>12}"
     print(hdr)
-    for lo in range(win, max_ep - win + 1, win):
-        hi = lo + win - 1
+    # epochs are 1-based; start at 1 so the first window is shown, and
+    # suffix '*' on any cell averaging fewer than `win` epochs (a leg that
+    # stopped mid-window) — both ADVICE r3 fixes
+    def cell(rows, lo, hi, width):
+        m, cnt = window_mean(rows, lo, hi)
+        if m is None:
+            return " " * (width + 1)
+        mark = "*" if cnt < hi - lo + 1 else " "
+        return f" {m:{width - 1}.1f}{mark}"
+
+    for lo in range(1, max_ep + 1, win):
+        hi = min(lo + win - 1, max_ep)
         band = [window_mean(r, lo, hi) for r in ours_seeds.values()]
-        band = [b for b in band if b is not None]
+        full = all(c in (0, hi - lo + 1) for _, c in band)
+        band = [b for b, c in band if b is not None]
         line = f"{lo}-{hi:>5}"
-        line += (f" {min(band):11.1f} {max(band):11.1f}" if band
-                 else " " * 24)
+        if band:
+            mark = " " if full else "*"
+            line += f" {min(band):11.1f} {max(band):10.1f}{mark}"
+        else:
+            line += " " * 24
         for n in sorted(refs):
-            m = window_mean(refs[n], lo, hi)
-            line += f" {m:10.1f}" if m is not None else " " * 11
+            line += cell(refs[n], lo, hi, 10)
         for n in sorted(others):
-            m = window_mean(others[n], lo, hi)
-            line += f" {m:12.1f}" if m is not None else " " * 13
+            line += cell(others[n], lo, hi, 12)
         print(line)
-    print("\nlegs:", ", ".join(f"{n}({max(r)}ep)" for n, r in sorted(legs.items())))
+    print("\n('*' = window not fully covered by that leg)")
+    print("legs:", ", ".join(f"{n}({max(r)}ep)" for n, r in sorted(legs.items())))
 
 
 if __name__ == "__main__":

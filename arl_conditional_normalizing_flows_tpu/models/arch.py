@@ -51,7 +51,21 @@ class ConvFlowConfig:
     # one joint matrix — identical per-group marginals, different joint
     # distribution (models.subnets.per_group_orthogonal). Parity knob;
     # kernel SHAPES are unchanged so checkpoints transfer either way.
+    # NOTE: tested at the flagship-600 budget and found neutral — the
+    # reference's ACTUAL init is ref_compat_shared_init below.
     ref_compat_group_init: bool = False
+    # The reference's TRUE epoch-0 distribution: the driver reuses ONE
+    # Orthogonal(0.1) initializer INSTANCE for every Conv2D
+    # (conv_cINN.py:90-91), and TF2 Keras initializer instances are
+    # stateless — same instance + same shape = identical values. So the
+    # reference draws ONE orthogonal matrix per unique kernel shape, shared
+    # across all layers of that shape, and every grouped conv's groups are
+    # identical copies of one square draw (verified on the transplanted
+    # epoch-0 tree, tools/init_probe_blocks.py). This distribution is what
+    # closes the flagship-600 tail offset (PARITY.md §5 refinit leg).
+    # Applied post-init by train.create_train_state via
+    # models.init_compat.shared_shape_reinit; kernel shapes unchanged.
+    ref_compat_shared_init: bool = False
     # Alternative lowerings of the SAME math, kept reproducible behind one
     # opt-in knob. Every one of these measured SLOWER than the default
     # XLA path on v5e (docs/PERF_NOTES.md "Experiments that did NOT pay") —

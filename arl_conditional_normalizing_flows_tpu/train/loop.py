@@ -41,8 +41,19 @@ class TrainState(train_state.TrainState):
 
 def create_train_state(model, example_xy, learning_rate, seed=0, tx=None):
     """Init params with a dummy forward pass (the reference needs the same
-    dummy call before load_weights, conv_cINN.py:572-579) and build Adam."""
+    dummy call before load_weights, conv_cINN.py:572-579) and build Adam.
+
+    When the model's config sets ``ref_compat_shared_init``, the param tree
+    is rewritten into the reference's shared-instance init distribution
+    (models.init_compat.shared_shape_reinit) — deterministic in ``seed``.
+    """
     params = model.init(jax.random.PRNGKey(seed), example_xy)
+    if getattr(getattr(model, "cfg", None), "ref_compat_shared_init", False):
+        from arl_conditional_normalizing_flows_tpu.models.init_compat import (
+            shared_shape_reinit,
+        )
+
+        params = shared_shape_reinit(params, seed)
     if tx is None:
         tx = optax.adam(learning_rate)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

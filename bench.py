@@ -38,6 +38,50 @@ import numpy as np
 # 64 -> 9647 under a concurrent CPU training). Compile is ~240 s, paid once.
 SCAN_INNER = int(os.environ.get("BENCH_INNER", 256))
 
+ROOFLINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "results", "roofline_cache.json",
+)
+
+
+def _roofline_statics_resilient(build_compiled, cache_key, device_kind,
+                                detail, note_key):
+    """HLO-derived roofline statics with retry + on-disk cache.
+
+    The bound is a pure function of (program, device kind) and does not
+    change run to run, but deriving it needs a (remote) compile that can
+    transiently fail — which blanked BENCH_r03's train MFU/fraction
+    (VERDICT r3 missing #4). Retry the compile a few times; on persistent
+    failure fall back to the cached statics from a previous run."""
+    from arl_conditional_normalizing_flows_tpu.utils import roofline_statics
+
+    cache = {}
+    if os.path.exists(ROOFLINE_CACHE):
+        try:
+            with open(ROOFLINE_CACHE) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    last_err = None
+    for attempt in range(3):
+        try:
+            statics = roofline_statics(build_compiled(), device_kind)
+            cache[cache_key] = statics
+            os.makedirs(os.path.dirname(ROOFLINE_CACHE), exist_ok=True)
+            with open(ROOFLINE_CACHE, "w") as f:
+                json.dump(cache, f, indent=1)
+            return statics
+        except Exception as e:
+            last_err = e
+            time.sleep(5 * (attempt + 1))
+    if cache_key in cache:
+        detail[note_key] = (
+            f"bound statics from cache (compile failed 3x: {last_err!r})"
+        )
+        return cache[cache_key]
+    detail[note_key] = f"no bound: compile failed 3x, no cache ({last_err!r})"
+    return None
+
 
 def main():
     import jax
@@ -157,62 +201,69 @@ def main():
     # speed-of-light claim as computed bound math, utils/roofline.py)
     mfu = frac = sample_frac = None
     if os.environ.get("BENCH_ROOFLINE", "1") == "1":
-        try:
-            from arl_conditional_normalizing_flows_tpu.train import make_step_fns
-            from arl_conditional_normalizing_flows_tpu.utils import (
-                roofline_report,
+        from arl_conditional_normalizing_flows_tpu.utils import (
+            roofline_from_statics,
+        )
+
+        device_kind = jax.devices()[0].device_kind
+        arch_key = json.dumps(
+            [sorted(arch.items()), batch, cfg.compute_dtype, cfg.fused_subnet,
+             cfg.experimental_lowering, cfg.flow_in_compute_dtype,
+             cfg.late_head_cast, device_kind],
+            default=str,
+        )
+
+        def build_train_compiled():
+            from arl_conditional_normalizing_flows_tpu.train import (
+                make_step_fns,
             )
 
             step, _ = make_step_fns(model, noise_mode="none")
-            compiled = step.lower(state, xy[0], key, alpha).compile()
-            rep = roofline_report(
-                compiled,
-                med / SCAN_INNER,
-                jax.devices()[0].device_kind,
-                batch=batch,
-            )
+            return step.lower(state, xy[0], key, alpha).compile()
+
+        statics = _roofline_statics_resilient(
+            build_train_compiled, "train|" + arch_key, device_kind,
+            detail, "roofline_error",
+        )
+        if statics is not None:
+            rep = roofline_from_statics(statics, med / SCAN_INNER, batch=batch)
             mfu = rep.get("mfu")
             frac = rep.get("fraction_of_roofline")
             detail["roofline"] = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in rep.items()
             }
-        except Exception as e:  # cost analysis is best-effort on remote backends
-            detail["roofline_error"] = repr(e)
 
         # sampling-axis roofline (VERDICT r2 missing #3): bound the single
         # INVERSE pass and compare to the measured scanned per-pass time —
         # the conditional-sampling engine is the north star (BASELINE.md)
-        try:
-            from arl_conditional_normalizing_flows_tpu.utils import (
-                roofline_report,
-            )
-
+        def build_sample_compiled():
             one_sample = jax.jit(
                 lambda params, z, yc: model.apply(
                     params, z, yc, method="sample_xy"
                 )
             )
-            compiled_s = one_sample.lower(state.params, zs[0], y).compile()
-            rep_s = roofline_report(
-                compiled_s,
-                dt_s / SCAN_INNER,
-                jax.devices()[0].device_kind,
-                batch=batch,
+            return one_sample.lower(state.params, zs[0], y).compile()
+
+        statics_s = _roofline_statics_resilient(
+            build_sample_compiled, "sample|" + arch_key, device_kind,
+            detail, "sampling_roofline_error",
+        )
+        if statics_s is not None:
+            rep_s = roofline_from_statics(
+                statics_s, dt_s / SCAN_INNER, batch=batch
             )
             sample_frac = rep_s.get("fraction_of_roofline")
             detail["sampling_roofline"] = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in rep_s.items()
             }
-        except Exception as e:
-            detail["sampling_roofline_error"] = repr(e)
 
     # serving: the multi-draw artifact under the CURRENT host load — one
     # call computes DRAWS x batch samples with a full host readback (the
     # realistic serving round-trip; VERDICT r2 weak #5). Reported as
     # samples/s per call and as a fraction of the device-side scanned rate.
-    serving_sps = None
+    serving_sps = serving_pipe_sps = None
     if os.environ.get("BENCH_SERVING", "1") == "1":
         try:
             from arl_conditional_normalizing_flows_tpu.serve import (
@@ -253,6 +304,32 @@ def main():
                 "call_ms": round(call_med * 1e3, 1),
                 "samples_per_sec_per_call": round(serving_sps, 1),
                 "fraction_of_device_side": round(serving_sps / sample_sps, 3),
+            }
+
+            # pipelined serving (the deployment client, serve.PipelinedSampler):
+            # n in-flight calls overlap transport with device compute — this
+            # is the capability number the round pin must carry (VERDICT r3
+            # missing #5: single calls understate serving ~5x through the
+            # remote tunnel)
+            from arl_conditional_normalizing_flows_tpu.serve import (
+                PipelinedSampler,
+            )
+
+            n_flight = int(os.environ.get("BENCH_INFLIGHT", 8))
+            pipe = PipelinedSampler(exported, draws, n_in_flight=n_flight)
+            n_total = draws * 4 * n_flight  # enough calls to reach steady state
+            pipe.sample(y, draws * n_flight, start_seed=100)  # warm the pool
+            t0 = time.perf_counter()
+            out_p = pipe.sample(y, n_total, start_seed=200)
+            pipe_s = time.perf_counter() - t0
+            serving_pipe_sps = out_p.shape[0] * batch / pipe_s
+            detail["serving"]["pipelined"] = {
+                "n_in_flight": n_flight,
+                "total_draws": int(out_p.shape[0]),
+                "samples_per_sec": round(serving_pipe_sps, 1),
+                "fraction_of_device_side": round(
+                    serving_pipe_sps / sample_sps, 3
+                ),
             }
         except Exception as e:
             detail["serving_error"] = repr(e)
@@ -308,6 +385,11 @@ def main():
         line["serving_samples_per_sec"] = round(serving_sps, 1)
         line["serving_fraction_of_device_side"] = round(
             serving_sps / sample_sps, 3
+        )
+    if serving_pipe_sps is not None:
+        line["serving_pipelined_samples_per_sec"] = round(serving_pipe_sps, 1)
+        line["serving_pipelined_fraction_of_device_side"] = round(
+            serving_pipe_sps / sample_sps, 3
         )
     print(json.dumps(line))
 

@@ -15,13 +15,15 @@ Usage:
   python benchmarks/flagship_split.py gen  [epochs]          # build stream
   python benchmarks/flagship_split.py ref  [epochs] [--seed N] [--resume]
   python benchmarks/flagship_split.py ours [epochs] [cpu|tpu] [--seed N]
-         [--tag T] [--resume] [--eps E] [--ginit] [--refinit]
+         [--tag T] [--resume] [--eps E] [--ginit] [--refinit] [--sharedinit]
   python benchmarks/flagship_split.py merge [epochs]         # -> results json
 
 Hypothesis flags (ours-only, log under --tag): ``--eps`` overrides Adam
 epsilon; ``--ginit`` uses per-group-independent orthogonal grouped-conv
 init (the reference's init joint distribution); ``--refinit`` transplants
-the reference's exact epoch-0 weights (same seed draw run_ref trains from).
+the reference's exact epoch-0 weights (same seed draw run_ref trains from);
+``--sharedinit`` uses OUR pipeline's reference-faithful shared-shape init
+(ConvFlowConfig.ref_compat_shared_init, models/init_compat.py).
 Both training legs checkpoint periodically and honor ``--resume``
 (TPU ours legs skip checkpointing: state readback through the remote
 tunnel costs more than re-running the leg).
@@ -277,6 +279,7 @@ def run_ours(
     epochs: int, platform: str = "cpu", seed: int = SEED,
     eps: float = None, tag: str = None, group_init: bool = False,
     resume: bool = False, ckpt_every: int = 25, ref_init: bool = False,
+    shared_init: bool = False,
 ) -> None:
     """``eps`` overrides optax.adam's epsilon (default 1e-8; TF/Keras uses
     1e-7) — a parity-gap hypothesis knob. ``tag`` names the log file
@@ -311,6 +314,7 @@ def run_ours(
         io_shape=XY_SHAPE, x_d=1, squeeze_factor_blocks=sf, res_blocks=nrb,
         num_kernels=nk, cardinality=card, ksize=3, layer_norm=True,
         ref_compat_group_slice=True, ref_compat_group_init=group_init,
+        ref_compat_shared_init=shared_init,
     )
     model = ConvCFlow(cfg)
     tx = None
@@ -508,6 +512,9 @@ def main():
     refinit = "--refinit" in argv
     if refinit:
         argv.remove("--refinit")
+    sharedinit = "--sharedinit" in argv
+    if sharedinit:
+        argv.remove("--sharedinit")
     for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -521,17 +528,19 @@ def main():
                 tag = val
     cmd = argv[0]
     if cmd != "ours" and (eps is not None or tag is not None or ginit
-                          or refinit):
+                          or refinit or sharedinit):
         raise SystemExit(
-            "--eps/--tag/--ginit/--refinit are 'ours'-only flags; silently "
-            f"dropping them for '{cmd}' would contaminate the default logs"
+            "--eps/--tag/--ginit/--refinit/--sharedinit are 'ours'-only "
+            f"flags; silently dropping them for '{cmd}' would contaminate "
+            "the default logs"
         )
-    if tag is None and (eps is not None or ginit or refinit):
+    if tag is None and (eps is not None or ginit or refinit or sharedinit):
         # A hypothesis leg without --tag would resolve to the DEFAULT seed
         # log/checkpoint and contaminate the seed band (ADVICE r3 medium).
         # Auto-derive a tag from the flags so the leg always gets its own
         # flagship600_ours_{tag}.jsonl.
-        base = "refinit" if refinit else ("ginit" if ginit else f"eps{eps:g}")
+        base = ("refinit" if refinit else "sharedinit" if sharedinit
+                else "ginit" if ginit else f"eps{eps:g}")
         tag = base if seed == SEED else f"{base}_s{seed}"
         print(f"hypothesis leg: auto-derived --tag {tag}", flush=True)
     epochs = int(argv[1]) if len(argv) > 1 else 600
@@ -541,7 +550,7 @@ def main():
         run_ref(epochs, seed, resume)
     elif cmd == "ours":
         run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag,
-                 ginit, resume, ref_init=refinit)
+                 ginit, resume, ref_init=refinit, shared_init=sharedinit)
     elif cmd == "merge":
         merge(epochs)
     else:

@@ -139,3 +139,31 @@ def test_peak_table_validation_flag():
     for kind in ("TPU v4", "TPU v3", "TPU v2", "TPU v6e", "TPU v5p"):
         assert device_peaks(kind) is not None
         assert not peaks_validated(kind)
+
+
+def test_statics_from_statics_round_trip_matches_report():
+    """The statics/measured split (bench cache resilience, VERDICT r3
+    missing #4): statics must JSON-round-trip and recompose into exactly
+    the one-shot report."""
+    import json
+
+    from arl_conditional_normalizing_flows_tpu.utils import (
+        roofline_from_statics,
+        roofline_statics,
+    )
+
+    x = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    k = jnp.zeros((3, 3, 4, 6), jnp.float32)
+
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    compiled = _compile(f, x, k)
+    statics = roofline_statics(compiled, "TPU v5 lite")
+    cached = json.loads(json.dumps(statics))  # disk round trip
+    rep_a = roofline_from_statics(cached, 1e-3, batch=2)
+    rep_b = roofline_report(compiled, 1e-3, "TPU v5 lite", batch=2)
+    assert rep_a == rep_b
+    assert "fraction_of_roofline" in rep_a and "mfu" in rep_a

@@ -53,6 +53,12 @@ def build_parser():
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true",
                    help="one two-headed A/b trunk per coupling (TPU perf option)")
+    p.add_argument("--shared-init", action="store_true",
+                   help="reference-faithful shared-shape init "
+                        "(ConvFlowConfig.ref_compat_shared_init): one "
+                        "orthogonal draw per unique kernel shape, shared "
+                        "model-wide — the distribution that closes the "
+                        "flagship-600 tail gap (PARITY.md §5)")
     p.add_argument("--experimental-lowering", default=None,
                    choices=["pallas_coupling", "fused_dilated",
                             "dense_groups", "pallas_subnet"],
@@ -266,6 +272,7 @@ def main(argv=None):
         fused_subnet=args.fused_subnet,
         compute_dtype=args.dtype,
         experimental_lowering=args.experimental_lowering,
+        ref_compat_shared_init=args.shared_init,
     )
     model = ConvCFlow(cfg)
     print("arch:", arch_string(cfg))

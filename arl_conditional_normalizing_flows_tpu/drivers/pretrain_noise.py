@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--no-dilations", dest="dilations", action="store_false", default=True)
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true")
+    p.add_argument("--shared-init", action="store_true",
+                   help="reference-faithful shared-shape init (must match "
+                        "the main run's init mode, PARITY.md §5)")
     p.add_argument("--experimental-lowering", default=None,
                    choices=["pallas_coupling", "fused_dilated",
                             "dense_groups", "pallas_subnet"],
@@ -114,6 +117,7 @@ def main(argv=None):
         fused_subnet=args.fused_subnet,
         compute_dtype=args.dtype,
         experimental_lowering=args.experimental_lowering,
+        ref_compat_shared_init=args.shared_init,
     )
     model = ConvCFlow(cfg)
     shape = cfg.io_shape

@@ -196,9 +196,13 @@ def main() -> None:
         "efficiency_trend_1_2_4": [
             1.0, round(multi_sps / sps1, 3), round(four_sps / sps1, 3)
         ],
-        "losses_identical_across_ranks": len(
-            {r["final_loss"] for r in multi} | {r["final_loss"] for r in four}
-        ) == 1,
+        # within each config the ranks time one global run and must agree
+        # bit-for-bit; ACROSS configs the final loss may differ (the noise
+        # key schedule depends on the slot grouping)
+        "losses_identical_across_ranks": (
+            len({r["final_loss"] for r in multi}) == 1
+            and len({r["final_loss"] for r in four}) == 1
+        ),
         "caveat": (
             "one physical machine: bounds framework overhead (input "
             "sharding, array assembly, collective scheduling, per-batch "

@@ -408,12 +408,20 @@ def merge(epochs: int) -> None:
         return [rows[e] for e in sorted(rows)]
 
     def read_seeds(impl):
-        """seed -> rows, for every per-seed log present (seed 0 = no suffix)."""
+        """seed -> rows, for every per-seed log present (seed 0 = no suffix).
+        A seed leg's WHOLE suffix is s<digits> — tag legs containing an
+        incidental _s<digits> (e.g. _sharedinit_s2, _refinit_s1) are
+        hypothesis legs and must not contaminate the seed band."""
+        import re as _re
+
         out = {0: read_log(_log_path(impl))}
         for p in sorted(_glob.glob(
                 os.path.join(RESULTS_DIR, f"flagship600_{impl}_s*.jsonl"))):
-            seed = int(os.path.basename(p).rsplit("_s", 1)[1].split(".")[0])
-            out[seed] = read_log(p)
+            m = _re.fullmatch(
+                rf"flagship600_{impl}_s(\d+)\.jsonl", os.path.basename(p)
+            )
+            if m:
+                out[int(m.group(1))] = read_log(p)
         return out
 
     ref_seeds, ours_seeds = read_seeds("ref"), read_seeds("ours")

@@ -331,7 +331,7 @@ def main():
             pipe = PipelinedSampler(exported_p, draws_pipe, n_in_flight=n_flight)
             pipe.sample(y, draws_pipe * n_flight, start_seed=100)  # warm
             reps = []
-            for r in range(3):
+            for r in range(int(os.environ.get("BENCH_PIPE_REPS", 5))):
                 t0 = time.perf_counter()
                 out_p = pipe.sample(
                     y, draws_pipe * n_flight * 3, start_seed=200 + 97 * r
@@ -342,7 +342,9 @@ def main():
                 "draws_per_call": draws_pipe,
                 "n_in_flight": n_flight,
                 "reps_samples_per_sec": [round(r, 1) for r in reps],
-                "median_samples_per_sec": round(sorted(reps)[1], 1),
+                "median_samples_per_sec": round(
+                    sorted(reps)[len(reps) // 2], 1
+                ),
                 "samples_per_sec": round(serving_pipe_sps, 1),
                 "fraction_of_device_side": round(
                     serving_pipe_sps / sample_sps, 3

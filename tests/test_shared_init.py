@@ -149,3 +149,59 @@ def test_rejects_pallas_and_fused_lowerings():
     m = ConvCFlow(cfg)
     with pytest.raises(ValueError, match="shared_init"):
         create_train_state(m, jnp.zeros((1, 16, 16, 2)), 3e-4, seed=0)
+
+
+def test_reference_shares_one_draw_per_shape():
+    """The empirical basis of this module (PARITY.md §5): the reference's
+    driver-style init — ONE Orthogonal(0.1) instance passed to every
+    Conv2D — yields identical kernels for every same-shape conv, and each
+    grouped conv's groups are identical square blocks. Verified on a small
+    live reference model (skipped when the checkout/TF is unavailable)."""
+    import os
+    import sys
+
+    pytest.importorskip("tensorflow")
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+    )
+    sys.path.insert(0, bench)
+    from reference_shim import import_conv_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout unavailable")
+    import tensorflow as tf
+
+    cref = import_conv_reference()
+    tf.random.set_seed(0)
+    m = cref.cFlow(
+        io_shape=[8, 8, 2], x_d=1, squeeze_factor_block_list=[0, 1],
+        ResNeXt_block_list=[1, 1], num_kernels_list=[16, 16],
+        cardinality_list=[2, 2], ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=False,
+    )
+    kernels = []
+    for lay in m.layers_list:
+        if not isinstance(lay, cref.coupling_layer):
+            continue
+        for sub in (lay.model_A, lay.model_b):
+            for keras_layer in sub.layers:
+                if keras_layer.__class__.__name__ in (
+                    "Conv2D", "Convolution2D"
+                ):
+                    kernels.append(keras_layer.get_weights()[0])
+    by_shape = {}
+    for k in kernels:
+        by_shape.setdefault(k.shape, []).append(k)
+    shared = 0
+    for shape, ks in by_shape.items():
+        if len(ks) < 2:
+            continue
+        shared += 1
+        for k in ks[1:]:
+            assert np.array_equal(k, ks[0]), (
+                f"reference same-shape kernels differ at {shape} — the "
+                "shared-instance premise of ref_compat_shared_init is broken"
+            )
+    assert shared >= 3  # the premise was actually exercised

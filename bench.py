@@ -19,9 +19,12 @@ time scales linearly with batch (compute-bound, not latency-bound).
 
 ``vs_baseline`` compares against BENCH_BASELINE.json (pinned to the first
 honest measurement on this platform). Config via env: BENCH_BATCH (128),
-BENCH_FUSED (1), BENCH_DTYPE (bfloat16), BENCH_INNER (64),
+BENCH_FUSED (1), BENCH_DTYPE (bfloat16), BENCH_INNER (256),
 BENCH_ARCH=small for a fast validation arch, BENCH_ARCH=perf for the
-128-lane capacity preset (models.arch.perf_arch_config).
+128-lane capacity preset (models.arch.perf_arch_config). Serving knobs:
+BENCH_DRAWS (16, single-call artifact), BENCH_DRAWS_PIPE (8) x
+BENCH_INFLIGHT (16) x BENCH_PIPE_REPS (5) for the pipelined client
+(small chunks pipeline best through the remote tunnel — PERF_NOTES r4).
 """
 
 import json

@@ -13,10 +13,22 @@ the two implementations can consume it from separate processes.
 
 Usage:
   python benchmarks/flagship_split.py gen  [epochs]          # build stream
+  python benchmarks/flagship_split.py genval                 # held-out set
   python benchmarks/flagship_split.py ref  [epochs] [--seed N] [--resume]
+         [--val]
   python benchmarks/flagship_split.py ours [epochs] [cpu|tpu] [--seed N]
          [--tag T] [--resume] [--eps E] [--ginit] [--refinit] [--sharedinit]
+         [--val]
   python benchmarks/flagship_split.py merge [epochs]         # -> results json
+
+``--val`` legs additionally evaluate the fixed held-out batch set (built by
+``genval``: 4x32 fresh seed-1 synthetic images, logit-preprocessed, one baked
+noise-floor draw, byte-identical for both implementations) every 10 epochs,
+logging val_{loss,z_loss,y_loss,detJ_loss} — the held-out analog of the
+reference's monitored ``val_loss`` (conv_cINN.py:334-409, :631-636). They log
+to dedicated files (flagship600_{ref|ours}_val[_sN].jsonl, ours sharedinit ->
+valshared) so earlier train-NLL seed bands stay immutable; ``merge`` emits
+``val_bands`` alongside the train bands.
 
 Hypothesis flags (ours-only, log under --tag): ``--eps`` overrides Adam
 epsilon; ``--ginit`` uses per-group-independent orthogonal grouped-conv
@@ -56,6 +68,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 STREAM_PATH = os.path.join(RESULTS_DIR, "flagship600_stream.npy")
+VAL_PATH = os.path.join(RESULTS_DIR, "flagship600_val.npy")
+VAL_EVERY = 10  # epochs between held-out evaluations on --val legs
 
 SEED = 0
 SIZE = 28
@@ -117,6 +131,50 @@ def gen(epochs: int) -> None:
     print(f"stream written: {STREAM_PATH} ({out.nbytes / 1e6:.0f} MB)", flush=True)
 
 
+def gen_val() -> None:
+    """Fixed held-out batch set for the val-logged legs (VERDICT r4 #1).
+
+    4 x 32 FRESH synthetic images (``synthetic_digits(seed=1)`` — a disjoint
+    draw from the training set's seed-0 images), logit-preprocessed through
+    the same ``ClassConditionalSource`` path as training (one fixed 2%
+    noise-floor draw baked into the bytes — NOT re-drawn per evaluation), no
+    annealing noise. Both implementations consume the identical bytes, the
+    held-out analog of the reference's ``validation_data`` stream
+    (conv_cINN.py:334-409, :631-636)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        ClassConditionalSource,
+        synthetic_digits,
+    )
+
+    imgs, labels = synthetic_digits(
+        num_per_class=NUM_PER_CLASS, num_classes=2, size=SIZE, seed=1
+    )
+    src = ClassConditionalSource(imgs, labels, [0, 1], BATCH, use_logits=True)
+    assert src.xy_shape == XY_SHAPE and src.num_batches == BATCHES_PER_EPOCH
+    batches = [
+        np.asarray(b, np.float32)
+        for b in src.epoch(jax.random.PRNGKey(SEED + 123), 0)
+    ]
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    np.save(VAL_PATH, np.stack(batches))
+    print(f"val set written: {VAL_PATH} ({len(batches)}x{BATCH})", flush=True)
+
+
+def _val_set():
+    assert os.path.exists(VAL_PATH), "run `flagship_split.py genval` first"
+    v = np.load(VAL_PATH)
+    assert v.shape == (BATCHES_PER_EPOCH, BATCH) + XY_SHAPE
+    return v
+
+
+def _is_val_epoch(ep1: int, epochs: int) -> bool:
+    return ep1 == 1 or ep1 % VAL_EVERY == 0 or ep1 == epochs
+
+
 def _stream(epochs: int) -> np.ndarray:
     mm = np.load(STREAM_PATH, mmap_mode="r")
     assert mm.shape[0] >= epochs, f"stream has {mm.shape[0]} epochs, need {epochs}"
@@ -131,6 +189,24 @@ def _log_path(impl: str, seed: int = 0, tag: str = None) -> str:
 def _append(impl: str, row: dict, seed: int = 0, tag: str = None) -> None:
     with open(_log_path(impl, seed, tag), "a") as f:
         f.write(json.dumps(row) + "\n")
+
+
+def _truncate_log(log_path: str, start_ep: int) -> None:
+    """On resume, drop rows past the checkpoint epoch (and dedupe any
+    earlier restart overlap, last write wins) so every leg jsonl carries
+    exactly one row per epoch — VERDICT r4 weak #5: a 613-row/600-epoch
+    artifact is ambiguous to anyone not reading merge's read_log."""
+    if not os.path.exists(log_path):
+        return
+    rows = {}
+    with open(log_path) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["epoch"] <= start_ep:
+                rows[r["epoch"]] = r
+    with open(log_path, "w") as f:
+        for e in sorted(rows):
+            f.write(json.dumps(rows[e]) + "\n")
 
 
 def _logged_t(log_path: str, epoch: int) -> float:
@@ -148,12 +224,16 @@ def _logged_t(log_path: str, epoch: int) -> float:
 
 
 def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
-            ckpt_every: int = 25) -> None:
+            ckpt_every: int = 25, val: bool = False) -> None:
     """``resume=True`` continues from the periodic checkpoint
     (flagship600_ref[_sN].ckpt.npz: model vars + optimizer slots + epoch).
     A TF leg costs 5.5-6 h; without this a crash loses everything
     (round-3 lesson). The resumed trajectory matches a continuous run up to
-    TF's CPU-threading nondeterminism (~2.5% epoch-loss spread)."""
+    TF's CPU-threading nondeterminism (~2.5% epoch-loss spread).
+
+    ``val=True`` additionally evaluates the fixed held-out set (``genval``)
+    every VAL_EVERY epochs and logs to flagship600_ref_val[_sN].jsonl —
+    round-4 legs stay untouched as the train-NLL record."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -179,7 +259,8 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
             var += l.model_A.trainable_variables + l.model_b.trainable_variables
     opt.build(var)  # create slots now so a checkpoint can restore into them
 
-    ck_path = _log_path("ref", seed).replace(".jsonl", ".ckpt.npz")
+    tag = None if not val else ("val" if seed == SEED else f"val_s{seed}")
+    ck_path = _log_path("ref", seed, tag).replace(".jsonl", ".ckpt.npz")
     start_ep, elapsed0 = 0, 0.0
     if resume and os.path.exists(ck_path):
         d = np.load(ck_path)
@@ -188,7 +269,8 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
         # resumed legs under-report leg time); older checkpoints lack the
         # field — recover it from the log row at the resume epoch
         elapsed0 = float(d["elapsed"]) if "elapsed" in d else _logged_t(
-            _log_path("ref", seed), start_ep)
+            _log_path("ref", seed, tag), start_ep)
+        _truncate_log(_log_path("ref", seed, tag), start_ep)
         for i, v in enumerate(var):
             v.assign(d[f"m{i}"])
         for i, v in enumerate(opt.variables):
@@ -212,6 +294,11 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
         opt.apply_gradients(zip(tape.gradient(loss, var), var))
         return loss, lz, ly, ldj
 
+    @tf.function
+    def vstep(xy):
+        return m.log_loss(xy)
+
+    vset = _val_set() if val else None
     mm = _stream(epochs)
     t0 = time.time() - elapsed0
     for ep in range(start_ep, epochs):
@@ -220,14 +307,27 @@ def run_ref(epochs: int, seed: int = SEED, resume: bool = False,
             for i in range(BATCHES_PER_EPOCH)
         ]
         mean = np.mean(vals, axis=0)
-        _append("ref", {
+        row = {
             "epoch": ep + 1,
             "loss": round(float(mean[0]), 3),
             "z_loss": round(float(mean[1]), 3),
             "y_loss": round(float(mean[2]), 3),
             "detJ_loss": round(float(mean[3]), 3),
             "t": round(time.time() - t0, 1),
-        }, seed)
+        }
+        if val and _is_val_epoch(ep + 1, epochs):
+            vv = [
+                [float(x) for x in vstep(tf.constant(vset[i]))]
+                for i in range(BATCHES_PER_EPOCH)
+            ]
+            vm = np.mean(vv, axis=0)
+            row.update(
+                val_loss=round(float(vm[0]), 3),
+                val_z_loss=round(float(vm[1]), 3),
+                val_y_loss=round(float(vm[2]), 3),
+                val_detJ_loss=round(float(vm[3]), 3),
+            )
+        _append("ref", row, seed, tag)
         if (ep + 1) % ckpt_every == 0 or ep + 1 == epochs:
             save_ckpt(ep + 1)
     print(f"ref done: {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
@@ -279,7 +379,7 @@ def run_ours(
     epochs: int, platform: str = "cpu", seed: int = SEED,
     eps: float = None, tag: str = None, group_init: bool = False,
     resume: bool = False, ckpt_every: int = 25, ref_init: bool = False,
-    shared_init: bool = False,
+    shared_init: bool = False, val: bool = False,
 ) -> None:
     """``eps`` overrides optax.adam's epsilon (default 1e-8; TF/Keras uses
     1e-7) — a parity-gap hypothesis knob. ``tag`` names the log file
@@ -357,6 +457,7 @@ def run_ours(
         start_ep = int(d["epoch"])
         elapsed0 = float(d["elapsed"]) if "elapsed" in d else _logged_t(
             _log_path("ours", seed, tag), start_ep)
+        _truncate_log(_log_path("ours", seed, tag), start_ep)
         state = serialization.from_bytes(state, d["state"].tobytes())
         print(f"resumed from epoch {start_ep} ({ck_path}, "
               f"{elapsed0:.0f}s elapsed)", flush=True)
@@ -368,7 +469,8 @@ def run_ours(
                  elapsed=np.asarray(time.time() - t0), state=raw)
         os.replace(tmp, ck_path)
 
-    step, _ = make_step_fns(model, noise_mode="none")
+    step, eval_step = make_step_fns(model, noise_mode="none")
+    vset = _val_set() if val else None
     mm = _stream(epochs)
     kdummy = jax.random.PRNGKey(0)
     one = jnp.float32(1.0)
@@ -381,7 +483,7 @@ def run_ours(
                 float(out[k]) for k in ("loss", "z_loss", "y_loss", "detJ_loss")
             ])
         mean = np.mean(vals, axis=0)
-        _append("ours", {
+        row = {
             "epoch": ep + 1,
             "loss": round(float(mean[0]), 3),
             "z_loss": round(float(mean[1]), 3),
@@ -389,7 +491,26 @@ def run_ours(
             "detJ_loss": round(float(mean[3]), 3),
             "platform": platform,
             "t": round(time.time() - t0, 1),
-        }, seed, tag)
+        }
+        if val and _is_val_epoch(ep + 1, epochs):
+            vv = [
+                [
+                    float(o[k])
+                    for k in ("loss", "z_loss", "y_loss", "detJ_loss")
+                ]
+                for o in (
+                    eval_step(state, jnp.asarray(vset[i]))
+                    for i in range(BATCHES_PER_EPOCH)
+                )
+            ]
+            vm = np.mean(vv, axis=0)
+            row.update(
+                val_loss=round(float(vm[0]), 3),
+                val_z_loss=round(float(vm[1]), 3),
+                val_y_loss=round(float(vm[2]), 3),
+                val_detJ_loss=round(float(vm[3]), 3),
+            )
+        _append("ours", row, seed, tag)
         if ckpt_every and ((ep + 1) % ckpt_every == 0 or ep + 1 == epochs):
             save_ckpt(ep + 1, state)
     print(f"ours({platform}) done: {epochs} epochs in {time.time() - t0:.0f}s",
@@ -479,11 +600,74 @@ def merge(epochs: int) -> None:
         tag = os.path.basename(p)[len("flagship600_ours_"):-len(".jsonl")]
         if tag.startswith("s") and tag[1:].isdigit():
             continue  # seed leg, already in the band
+        if tag.split("_s")[0] in ("val", "valshared"):
+            continue  # held-out-val leg, reported in val_bands below
         rows = read_log(p)
         if rows:
             hypothesis[tag] = dict(
                 tail_stats(rows), platform=rows[0].get("platform", "cpu")
             )
+
+    # held-out-validation legs (VERDICT r4 #1): every 10 epochs both legs
+    # evaluate the byte-identical fixed held-out set (genval). Bands over
+    # the val tail decide whether the shared-init train-NLL win is model
+    # quality or memorization of the 128-image stream.
+    def read_tag_seeds(impl, base):
+        import re as _re
+
+        out = {}
+        p0 = os.path.join(RESULTS_DIR, f"flagship600_{impl}_{base}.jsonl")
+        if os.path.exists(p0):
+            out[0] = read_log(p0)
+        for p in sorted(_glob.glob(os.path.join(
+                RESULTS_DIR, f"flagship600_{impl}_{base}_s*.jsonl"))):
+            m = _re.fullmatch(
+                rf"flagship600_{impl}_{base}_s(\d+)\.jsonl",
+                os.path.basename(p),
+            )
+            if m:
+                out[int(m.group(1))] = read_log(p)
+        return out
+
+    def val_tail_stats(rows):
+        vrows = [r for r in rows if "val_loss" in r]
+        if not vrows:
+            return None
+        tail = vrows[-3:]  # last 3 evals => epochs ~580/590/600 on full legs
+        st = tail_stats(rows)  # train-side tail for the same leg
+        return {
+            "epochs": len(rows),
+            "val_final": vrows[-1]["val_loss"],
+            "val_last3_mean": round(
+                float(np.mean([r["val_loss"] for r in tail])), 1),
+            "val_best": round(min(r["val_loss"] for r in vrows), 1),
+            "val_final_y_loss": vrows[-1]["val_y_loss"],
+            "train_last20_mean_loss": st["last20_mean_loss"],
+            "train_best_loss": st["best_loss"],
+        }
+
+    def val_band(seed_map):
+        legs = {}
+        for s, rows in sorted(seed_map.items()):
+            st = val_tail_stats(rows)
+            if st:
+                legs[f"seed{s}"] = st
+        full = [t for t in legs.values() if t["epochs"] >= epochs]
+        summary = {}
+        for key in ("val_final", "val_last3_mean", "train_last20_mean_loss"):
+            vals = [t[key] for t in full]
+            if vals:
+                summary[key] = {
+                    "min": min(vals), "max": max(vals),
+                    "mean": round(float(np.mean(vals)), 1),
+                }
+        return {"legs": legs, "n_full_legs": len(full), "band": summary}
+
+    val_bands = {
+        "reference": val_band(read_tag_seeds("ref", "val")),
+        "ours_default": val_band(read_tag_seeds("ours", "val")),
+        "ours_sharedinit": val_band(read_tag_seeds("ours", "valshared")),
+    }
 
     out = {
         "task": "class-conditional 28x28 synthetic, identical batches, "
@@ -495,6 +679,7 @@ def merge(epochs: int) -> None:
         "ours": side(ours),
         "ours_platform": ours[0].get("platform", "cpu"),
         "seed_bands": {"reference": band(ref_seeds), "ours": band(ours_seeds)},
+        "val_bands": val_bands,
         "hypothesis_legs": hypothesis,
     }
     print(json.dumps(out, indent=2))
@@ -523,6 +708,9 @@ def main():
     sharedinit = "--sharedinit" in argv
     if sharedinit:
         argv.remove("--sharedinit")
+    val = "--val" in argv
+    if val:
+        argv.remove("--val")
     for flag, cast in (("--seed", int), ("--eps", float), ("--tag", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -535,14 +723,32 @@ def main():
             else:
                 tag = val
     cmd = argv[0]
-    if cmd != "ours" and (eps is not None or tag is not None or ginit
-                          or refinit or sharedinit):
+    if cmd not in ("ours", "ref") and (eps is not None or tag is not None
+                                       or ginit or refinit or sharedinit
+                                       or val):
+        raise SystemExit(
+            "--eps/--tag/--ginit/--refinit/--sharedinit/--val are training-"
+            f"leg flags; silently dropping them for '{cmd}' would "
+            "contaminate the default logs"
+        )
+    if cmd == "ref" and (eps is not None or tag is not None or ginit
+                         or refinit or sharedinit):
         raise SystemExit(
             "--eps/--tag/--ginit/--refinit/--sharedinit are 'ours'-only "
-            f"flags; silently dropping them for '{cmd}' would contaminate "
-            "the default logs"
+            "flags (the ref leg has no such knobs)"
         )
-    if tag is None and (eps is not None or ginit or refinit or sharedinit):
+    if cmd == "ours" and val:
+        # val legs get dedicated log names so the round-4 train-NLL seed
+        # bands stay immutable; valshared separates the two init families
+        # the val adjudication compares.
+        if tag is not None:
+            raise SystemExit("--val derives its own tag; drop --tag")
+        base = "valshared" if sharedinit else "val"
+        if eps is not None or ginit or refinit:
+            raise SystemExit("--val supports only --sharedinit legs")
+        tag = base if seed == SEED else f"{base}_s{seed}"
+        print(f"val leg: auto-derived --tag {tag}", flush=True)
+    elif tag is None and (eps is not None or ginit or refinit or sharedinit):
         # A hypothesis leg without --tag would resolve to the DEFAULT seed
         # log/checkpoint and contaminate the seed band (ADVICE r3 medium).
         # Auto-derive a tag from the flags so the leg always gets its own
@@ -554,11 +760,14 @@ def main():
     epochs = int(argv[1]) if len(argv) > 1 else 600
     if cmd == "gen":
         gen(epochs)
+    elif cmd == "genval":
+        gen_val()
     elif cmd == "ref":
-        run_ref(epochs, seed, resume)
+        run_ref(epochs, seed, resume, val=val)
     elif cmd == "ours":
         run_ours(epochs, argv[2] if len(argv) > 2 else "cpu", seed, eps, tag,
-                 ginit, resume, ref_init=refinit, shared_init=sharedinit)
+                 ginit, resume, ref_init=refinit, shared_init=sharedinit,
+                 val=val)
     elif cmd == "merge":
         merge(epochs)
     else:

@@ -417,6 +417,195 @@ def run_image_sample_parity(epochs=80, seed=0, size=8, num_samples=4000):
     }
 
 
+def run_sr_parity(epochs=600, seed=0, size=8, anneal=100, batch=None,
+                  num_conditions=2, block_samples=1000):
+    """Matched-budget SUPER-RESOLUTION training parity on identical data —
+    the SR analog of ``run_image_parity`` (VERDICT r4 missing #2): both
+    implementations train their OWN weights on the byte-identical 'SR2,1'
+    residual stream (x = hires - up(down(hires)), y = up(down(hires));
+    conv_cINN_base_functions.py:233-279, conv_cINN.py:30) for the
+    reference driver's full budget (anneal=100, epochs=600 mirrors
+    conv_cINN.py:116,119), small arch.
+
+    At trajectory marks each side additionally samples ``block_samples``
+    residuals for ``num_conditions`` fixed held-out lowres conditions FROM
+    ITS OWN CURRENT WEIGHTS and logs the reference's built-in SR sanity
+    invariant — 2x2 blocks of the sampled residual sum to ~0
+    (conv_cINN.py:44-45) — so the invariant's trajectory is part of the
+    training-parity record on both sides, not just a post-hoc transplant
+    check (run_sr_sample_parity)."""
+    batch = batch if batch is not None else BATCH
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tensorflow as tf
+
+    from reference_shim import import_conv_reference
+
+    cref = import_conv_reference()
+    import jax.numpy as jnp
+
+    from arl_conditional_normalizing_flows_tpu.data.images import (
+        SRSource,
+        synthetic_digits,
+    )
+    from arl_conditional_normalizing_flows_tpu.models import ConvCFlow, ConvFlowConfig
+    from arl_conditional_normalizing_flows_tpu.ops.resample import down, up
+    from arl_conditional_normalizing_flows_tpu.sample import (
+        sample_conditional_images,
+    )
+    from arl_conditional_normalizing_flows_tpu.train import (
+        create_train_state,
+        make_step_fns,
+    )
+
+    imgs, _ = synthetic_digits(num_per_class=160, num_classes=2, size=size)
+    src = SRSource(imgs[:-num_conditions], "SR2,1", batch, residual=True)
+    h, w, xy_d = src.xy_shape
+    cond_planes = [
+        np.asarray(up(down(jnp.asarray(imgs[len(imgs) - num_conditions + ci]))),
+                   np.float32)
+        for ci in range(num_conditions)
+    ]
+
+    epoch_keys = []
+    key = jax.random.PRNGKey(seed + 7)
+    for _ in range(epochs):
+        key, k = jax.random.split(key)
+        epoch_keys.append(k)
+
+    def stream(ep):
+        return [np.asarray(b) for b in src.epoch(epoch_keys[ep], ep)]
+
+    def noisy(ep, i, b):
+        a = ep / anneal if ep < anneal else 1.0
+        if a >= 1.0:
+            return b
+        eps = np.random.default_rng(ep * 1000 + i).normal(size=b.shape)
+        return (a * b + (1 - a) * eps).astype(np.float32)
+
+    marks = sorted({min(e, epochs) for e in (150, 300, 450, epochs)})
+
+    def block_sums(x):
+        n = x.shape[0]
+        return float(np.abs(
+            x.reshape(n, h // 2, 2, w // 2, 2).sum(axis=(2, 4))
+        ).mean())
+
+    # ---- reference --------------------------------------------------------
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    m = cref.cFlow(
+        io_shape=[h, w, xy_d], x_d=1, squeeze_factor_block_list=list(SF),
+        ResNeXt_block_list=list(NRB), num_kernels_list=list(NK),
+        cardinality_list=list(CARD), ksize=3,
+        init=tf.keras.initializers.Orthogonal(0.1), DILATIONS=True,
+        LAYER_NORM=False,
+    )
+    opt = tf.keras.optimizers.Adam(LR)
+    var = []
+    for l in m.layers_list:
+        if isinstance(l, cref.coupling_layer):
+            var += l.model_A.trainable_variables + l.model_b.trainable_variables
+
+    @tf.function
+    def rstep(xy):
+        with tf.GradientTape() as tape:
+            loss, lz, ly, ldj = m.log_loss(xy)
+        opt.apply_gradients(zip(tape.gradient(loss, var), var))
+        return loss, lz, ly, ldj
+
+    def ref_block_traj():
+        out = []
+        for ci, yplane in enumerate(cond_planes):
+            rng = np.random.default_rng(1000 + ci)
+            z = rng.normal(size=(block_samples, h, w, 1)).astype(np.float32)
+            ystack = np.broadcast_to(yplane, (block_samples, h, w, 1))
+            xy = np.asarray(
+                m.call(tf.constant(np.concatenate([z, ystack], -1)), -1)
+            )
+            out.append(block_sums(xy[..., 0]))
+        return round(float(np.mean(out)), 4)
+
+    t0 = time.time()
+    ref_hist, ref_blocks = [], {}
+    for ep in range(epochs):
+        losses = [
+            [float(x) for x in rstep(tf.constant(noisy(ep, i, b)))]
+            for i, b in enumerate(stream(ep))
+        ]
+        ref_hist.append(np.mean(losses, axis=0))
+        if ep + 1 in marks:
+            ref_blocks[ep + 1] = ref_block_traj()
+    ref_secs = time.time() - t0
+    ref_hist = np.asarray(ref_hist)
+
+    # ---- ours (own init + own weights, identical batches) -----------------
+    cfg = ConvFlowConfig(
+        io_shape=(h, w, xy_d), x_d=1, squeeze_factor_blocks=SF, res_blocks=NRB,
+        num_kernels=NK, cardinality=CARD, ksize=3, ref_compat_group_slice=True,
+    )
+    model = ConvCFlow(cfg)
+    state = create_train_state(model, jnp.zeros((1, h, w, xy_d)), LR, seed=seed)
+    step, _ = make_step_fns(model, noise_mode="none")
+
+    def ours_block_traj(params):
+        out = []
+        for ci, yplane in enumerate(cond_planes):
+            x = np.asarray(
+                sample_conditional_images(
+                    model, params, jax.random.PRNGKey(2000 + ci),
+                    jnp.asarray(yplane), block_samples, x_d=1,
+                )
+            )[..., 0]
+            out.append(block_sums(x))
+        return round(float(np.mean(out)), 4)
+
+    t0 = time.time()
+    ours_hist, ours_blocks = [], {}
+    kdummy = jax.random.PRNGKey(0)
+    for ep in range(epochs):
+        vals = []
+        for i, b in enumerate(stream(ep)):
+            state, out = step(state, jnp.asarray(noisy(ep, i, b)), kdummy,
+                              jnp.float32(1.0))
+            vals.append([
+                float(out[k]) for k in ("loss", "z_loss", "y_loss", "detJ_loss")
+            ])
+        ours_hist.append(np.mean(vals, axis=0))
+        if ep + 1 in marks:
+            ours_blocks[ep + 1] = ours_block_traj(state.params)
+    ours_secs = time.time() - t0
+    ours_hist = np.asarray(ours_hist)
+
+    names = ["loss", "z_loss", "y_loss", "detJ_loss"]
+    tmarks = sorted({min(e, epochs - 1)
+                     for e in (0, 9, 49, 99, 149, 299, 449, epochs - 1)})
+
+    def side(hist, secs, blocks):
+        tail = hist[-20:, 0]
+        return {
+            "final": dict(zip(names, np.round(hist[-1], 3).tolist())),
+            "best_loss": round(float(hist[:, 0].min()), 3),
+            "last20_mean_loss": round(float(tail.mean()), 3),
+            "loss_trajectory": np.round(hist[tmarks, 0], 2).tolist(),
+            "block_sum_trajectory": {str(k): v for k, v in sorted(blocks.items())},
+            "seconds": round(secs, 1),
+        }
+
+    return {
+        "task": f"SR2,1 residual {size}x{size} synthetic, identical batches, "
+                "full 600-epoch budget, own weights both sides",
+        "epochs": epochs,
+        "annealing_epochs": anneal,
+        "loss_trajectory_epochs": [m_ + 1 for m_ in tmarks],
+        "block_samples_per_condition": block_samples,
+        "num_conditions": num_conditions,
+        "reference": side(ref_hist, ref_secs, ref_blocks),
+        "ours": side(ours_hist, ours_secs, ours_blocks),
+    }
+
+
 def run_sr_sample_parity(epochs=80, seed=0, size=8, num_samples=4000,
                          num_conditions=2):
     """Conditional-sample MOMENT parity for a SUPER-RESOLUTION model — the SR
@@ -611,6 +800,10 @@ def main():
     if which in ("sr_sample",):
         out["sr_sample"] = run_sr_sample_parity(epochs)
         print(json.dumps(out["sr_sample"], indent=2), flush=True)
+    if which in ("sr_full",):
+        # SR matched-budget training parity at the reference's full budget
+        out["sr_full"] = run_sr_parity(epochs, anneal=100)
+        print(json.dumps(out["sr_full"], indent=2), flush=True)
     path = os.path.join(RESULTS_DIR, "conv_train_parity.json")
     existing = {}
     if os.path.exists(path):

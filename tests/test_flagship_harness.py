@@ -62,6 +62,55 @@ def test_ours_resume_reproduces_continuous_run(tiny_harness):
             assert a[k] == b[k], (a["epoch"], k, a[k], b[k])
 
 
+def test_val_leg_logs_heldout_components(tiny_harness, monkeypatch):
+    """--val legs evaluate the fixed held-out set on epochs 1, every
+    VAL_EVERY, and the final epoch — and ONLY there — logging the four val
+    components; the val eval must not perturb the training trajectory."""
+    val_path = str(tiny_harness / "val.npy")
+    rng = np.random.default_rng(1)
+    np.save(val_path, rng.normal(
+        size=(flagship_split.BATCHES_PER_EPOCH, 4) + TINY_SHAPE
+    ).astype(np.float32))
+    monkeypatch.setattr(flagship_split, "VAL_PATH", val_path)
+    monkeypatch.setattr(flagship_split, "VAL_EVERY", 3)
+    monkeypatch.setattr(flagship_split, "BATCH", 4)
+
+    flagship_split.run_ours(5, "cpu", tag="plain")
+    flagship_split.run_ours(5, "cpu", tag="withval", val=True)
+    plain = _rows(tiny_harness / "flagship600_ours_plain.jsonl")
+    withval = _rows(tiny_harness / "flagship600_ours_withval.jsonl")
+
+    val_epochs = [r["epoch"] for r in withval if "val_loss" in r]
+    assert val_epochs == [1, 3, 5]
+    for r in withval:
+        if "val_loss" in r:
+            for k in ("val_loss", "val_z_loss", "val_y_loss", "val_detJ_loss"):
+                assert np.isfinite(r[k])
+    # eval is side-effect-free: the training trajectory is bit-identical
+    for a, b in zip(plain, withval):
+        for k in ("loss", "z_loss", "y_loss", "detJ_loss"):
+            assert a[k] == b[k], (a["epoch"], k)
+
+
+def test_resume_truncates_stale_rows(tiny_harness):
+    """A leg resumed from an epoch-4 checkpoint after logging rows past the
+    checkpoint must rewrite its jsonl to one row per epoch (VERDICT r4 weak
+    #5: a 613-row/600-epoch artifact is ambiguous)."""
+    flagship_split.run_ours(4, "cpu", tag="trunc", ckpt_every=4)
+    # simulate a crashed continuation that logged rows 5-6 with no checkpoint
+    log = tiny_harness / "flagship600_ours_trunc.jsonl"
+    with open(log, "a") as f:
+        for e in (5, 6):
+            f.write(json.dumps({"epoch": e, "loss": 1.0, "z_loss": 0.0,
+                                "y_loss": 0.0, "detJ_loss": 0.0,
+                                "platform": "cpu", "t": 9.9}) + "\n")
+    flagship_split.run_ours(6, "cpu", tag="trunc", ckpt_every=4, resume=True)
+    rows = _rows(log)
+    assert [r["epoch"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    # the stale placeholder rows were replaced by real continuation rows
+    assert all(r["loss"] != 1.0 for r in rows[4:])
+
+
 def test_ours_ginit_leg_changes_init_not_shapes(tiny_harness):
     """--ginit changes initial values only; the leg must still train and its
     trajectory must differ from the default-init leg on the same stream."""

@@ -33,9 +33,16 @@ def build_parser():
     p.add_argument("--no-dilations", dest="dilations", action="store_false", default=True)
     p.add_argument("--layer-norm", action="store_true")
     p.add_argument("--fused-subnet", action="store_true")
-    p.add_argument("--shared-init", action="store_true",
-                   help="reference-faithful shared-shape init (must match "
-                        "the main run's init mode, PARITY.md §5)")
+    p.add_argument("--shared-init", dest="shared_init", action="store_true",
+                   default=True,
+                   help="reference-faithful shared-shape init — DRIVER "
+                        "DEFAULT, matching cnf-conv's default since the "
+                        "round-5 held-out adjudication (must match the "
+                        "main run's init mode, PARITY.md §5)")
+    p.add_argument("--no-shared-init", dest="shared_init",
+                   action="store_false",
+                   help="independent orthogonal draws per kernel (the "
+                        "library ConvFlowConfig default)")
     p.add_argument("--experimental-lowering", default=None,
                    choices=["pallas_coupling", "fused_dilated",
                             "dense_groups", "pallas_subnet"],

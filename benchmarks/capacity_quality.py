@@ -81,11 +81,20 @@ def run_arm(name, cfg, budget_s, platform="tpu", seed=0):
     float(out["loss"])
     float(eval_step(state, jnp.asarray(vset[0]))["loss"])
 
+    # The stream bakes annealed noise into its first ANNEAL epochs
+    # (flagship_split.py:78). On TPU an arm can consume the whole
+    # 600-epoch stream well inside the budget; wrapping back to epoch 0
+    # would blast the converged model with annealing-phase noise every
+    # lap, so past the first pass we cycle only the clean region.
+    ANNEAL = 100
     traj = []
     t0 = time.time()
     ep = 0
     while time.time() - t0 < budget_s:
-        src_ep = ep % mm.shape[0]
+        if ep < mm.shape[0]:
+            src_ep = ep
+        else:
+            src_ep = ANNEAL + (ep - mm.shape[0]) % (mm.shape[0] - ANNEAL)
         losses = []
         for i in range(mm.shape[1]):
             state, out = step(state, jnp.asarray(mm[src_ep, i]), kdummy, one)
@@ -128,6 +137,7 @@ def run_arm(name, cfg, budget_s, platform="tpu", seed=0):
 def main():
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 900.0
     platform = sys.argv[2] if len(sys.argv) > 2 else "tpu"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
     from arl_conditional_normalizing_flows_tpu.models import ConvFlowConfig
     from arl_conditional_normalizing_flows_tpu.models.arch import (
@@ -140,7 +150,10 @@ def main():
         cardinality=(8, 8, 4, 4), ksize=3, layer_norm=True,
     )
     perf = perf_arch_config(layer_norm=True)
+    # width/dtype disambiguation arm: the preset's width at fp32 compute
+    perf_fp32 = perf_arch_config(layer_norm=True, compute_dtype="float32")
 
+    art_path = os.path.join(ART_DIR, "capacity_quality.json")
     out = {
         "task": "class-conditional 28x28 synthetic, flagship stream, "
                 "matched wall-clock, held-out val bits/dim "
@@ -149,7 +162,13 @@ def main():
         "platform": platform,
         "arms": {},
     }
-    for name, cfg in (("parity_arch", parity), ("capacity_preset", perf)):
+    if only and os.path.exists(art_path):
+        with open(art_path) as f:
+            out = json.load(f)  # merge new arms into the existing artifact
+    for name, cfg in (("parity_arch", parity), ("capacity_preset", perf),
+                      ("capacity_fp32", perf_fp32)):
+        if only and name not in only:
+            continue
         out["arms"][name] = run_arm(name, cfg, budget, platform)
 
     os.makedirs(ART_DIR, exist_ok=True)
